@@ -1,0 +1,107 @@
+"""Matching invariants (SURVEY.md §4 item 2): padded gts never matched,
+positives exceed the IoU threshold, encoded targets decode back to the gt."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tfssd_tpu.config import get_hyper_params
+from tfssd_tpu.ops import boxes as box_ops
+from tfssd_tpu.ops import matching
+
+
+def _cfg():
+    return get_hyper_params("mobilenet_v2", max_gt_boxes=8)
+
+
+def test_padded_gt_never_matched():
+    cfg = _cfg()
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    gt_boxes = jnp.zeros((8, 4), jnp.float32)
+    gt_labels = jnp.zeros((8,), jnp.int32)
+    deltas, labels = matching.match_single(anchors, gt_boxes, gt_labels, cfg)
+    # No positives: every anchor labelled background.
+    np.testing.assert_allclose(np.asarray(labels[:, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(deltas), 0.0)
+
+
+def test_anchor_aligned_gt_is_matched():
+    cfg = _cfg()
+    anchors_np = box_ops.generate_anchors(cfg)
+    anchors = jnp.asarray(anchors_np)
+    # Place a gt exactly on anchor #100 -> IoU 1 -> positive.
+    gt = np.zeros((8, 4), np.float32)
+    gt[0] = anchors_np[100]
+    labels_in = np.zeros((8,), np.int32)
+    labels_in[0] = 7
+    deltas, labels = matching.match_single(
+        anchors, jnp.asarray(gt), jnp.asarray(labels_in), cfg)
+    lab = np.asarray(labels)
+    assert lab[100, 7] == 1.0
+    np.testing.assert_allclose(np.asarray(deltas)[100], 0.0, atol=1e-5)
+
+
+def test_positives_have_iou_above_threshold():
+    cfg = _cfg()
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    rng = np.random.RandomState(3)
+    gt = np.zeros((8, 4), np.float32)
+    labels_in = np.zeros((8,), np.int32)
+    for g in range(4):
+        cy, cx = rng.uniform(0.3, 0.7, 2)
+        h, w = rng.uniform(0.2, 0.4, 2)
+        gt[g] = [cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2]
+        labels_in[g] = g + 1
+    deltas, labels = matching.match_single(
+        anchors, jnp.asarray(gt), jnp.asarray(labels_in), cfg)
+    pos = np.asarray(jnp.sum(labels[:, 1:], axis=-1) > 0.5)
+    iou = np.asarray(box_ops.iou_matrix(anchors, jnp.asarray(gt)))
+    best = iou[:, :4].max(axis=-1)
+    assert np.all(best[pos] > cfg.iou_threshold)
+    # And every anchor above threshold is positive (threshold-only matching).
+    assert np.all(pos[best > cfg.iou_threshold])
+
+
+def test_encoded_targets_decode_to_gt():
+    cfg = _cfg()
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    gt = np.zeros((8, 4), np.float32)
+    gt[0] = [0.30, 0.30, 0.62, 0.64]
+    labels_in = np.zeros((8,), np.int32)
+    labels_in[0] = 3
+    deltas, labels = matching.match_single(
+        anchors, jnp.asarray(gt), jnp.asarray(labels_in), cfg)
+    pos = np.asarray(jnp.sum(labels[:, 1:], axis=-1) > 0.5)
+    assert pos.sum() > 0
+    decoded = np.asarray(box_ops.decode(anchors, deltas, cfg.variances))
+    np.testing.assert_allclose(decoded[pos], gt[0][None].repeat(pos.sum(), 0),
+                               atol=1e-4)
+
+
+def test_force_match_assigns_every_gt():
+    """With force_match_for_gt, a tiny gt that no anchor overlaps > 0.5
+    still gets its best anchor."""
+    cfg = get_hyper_params("mobilenet_v2", max_gt_boxes=8,
+                           force_match_for_gt=True)
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    gt = np.zeros((8, 4), np.float32)
+    gt[0] = [0.40, 0.40, 0.43, 0.43]  # tiny box; under-threshold everywhere
+    labels_in = np.zeros((8,), np.int32)
+    labels_in[0] = 5
+    _, labels = matching.match_single(
+        anchors, jnp.asarray(gt), jnp.asarray(labels_in), cfg)
+    assert np.asarray(labels[:, 5]).sum() >= 1.0
+    # Threshold-only config leaves it unmatched.
+    cfg0 = get_hyper_params("mobilenet_v2", max_gt_boxes=8)
+    _, labels0 = matching.match_single(
+        anchors, jnp.asarray(gt), jnp.asarray(labels_in), cfg0)
+    assert np.asarray(labels0[:, 5]).sum() == 0.0
+
+
+def test_match_batch_shapes():
+    cfg = _cfg()
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    gt_boxes = jnp.zeros((4, 8, 4), jnp.float32)
+    gt_labels = jnp.zeros((4, 8), jnp.int32)
+    deltas, labels = matching.match_batch(anchors, gt_boxes, gt_labels, cfg)
+    assert deltas.shape == (4, cfg.total_anchors, 4)
+    assert labels.shape == (4, cfg.total_anchors, cfg.total_labels)
