@@ -1,0 +1,129 @@
+"""Inference / evaluation entry point.
+
+Reference parity: predictor.py — loads the trained weights for a
+backbone, runs the decoder model over the test split (or a folder of
+custom images via --image-dir, mirroring data_utils.get_custom_imgs),
+draws predictions, and computes VOC mAP@0.5 (utils/eval_utils.py).
+
+TPU-native: forward + decode + NMS are ONE jitted function
+(models.decoder.make_predict_fn); batches stream through it while mAP
+accumulation happens on host numpy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from tfssd_tpu import get_hyper_params
+from tfssd_tpu.data import (
+    SyntheticDataset,
+    VOCDataset,
+    batch_examples,
+    custom_image_generator,
+    get_custom_imgs,
+    get_labels,
+    prefetch,
+)
+from tfssd_tpu.evaluate import detections_from_nms_result, evaluate_predictions
+from tfssd_tpu.models import get_model, make_predict_fn
+from tfssd_tpu.ops.boxes import generate_anchors
+from tfssd_tpu.train import create_train_state, make_optimizer, preprocess_images
+from tfssd_tpu.utils.checkpoint import CheckpointManager
+from tfssd_tpu.utils.drawing import draw_predictions
+from tfssd_tpu.utils.io import get_model_path, handle_args
+from tfssd_tpu.utils.metrics import StepTimer
+
+
+def main():
+    parser = handle_args("tfssd_tpu predictor")
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--image-dir", default=None,
+                        help="folder of arbitrary images instead of a split")
+    parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--no-eval", action="store_true")
+    parser.add_argument("--draw", type=int, default=0,
+                        help="save the first N images with drawn boxes")
+    parser.add_argument("--score-threshold", type=float, default=0.5)
+    parser.add_argument("--random-weights", action="store_true",
+                        help="skip checkpoint loading (smoke testing)")
+    args = parser.parse_args()
+
+    cfg = get_hyper_params(args.backbone)
+    # Fail fast on a missing checkpoint BEFORE paying the model build/compile.
+    ckpt, step = None, None
+    if not args.random_weights:
+        ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
+        step = ckpt.best_step() or ckpt.latest_step()
+        if step is None:
+            raise SystemExit(
+                f"no checkpoint for {args.backbone} under {args.model_dir}; "
+                f"train first or pass --random-weights")
+    model = get_model(cfg)
+    anchors = generate_anchors(cfg)
+    state = create_train_state(model, jax.random.key(0), make_optimizer(1e-3))
+    if ckpt is not None:
+        state = ckpt.restore_weights(state, step)
+        print(f"loaded checkpoint step {step}")
+        ckpt.close()
+
+    predict = jax.jit(make_predict_fn(model, anchors, cfg))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.image_dir:
+        dataset = list(custom_image_generator(
+            get_custom_imgs(args.image_dir), cfg.img_size))
+    elif args.dataset == "voc" and args.data_root:
+        dataset = VOCDataset(args.data_root, args.split,
+                             image_size=cfg.img_size, skip_difficult=False)
+    else:
+        dataset = SyntheticDataset(128, image_size=cfg.img_size, seed=10_000)
+
+    labels = get_labels()
+    os.makedirs(args.output_dir, exist_ok=True)
+    gts, dets, drawn, seen = [], [], 0, 0
+    timer = StepTimer(skip=1)
+    timer.start()
+    for batch in prefetch(batch_examples(
+            dataset, args.batch_size, cfg.max_gt_boxes,
+            drop_remainder=False)):
+        images = preprocess_images(jax.numpy.asarray(batch["image"]))
+        res = predict(variables, images)
+        jax.block_until_ready(res.scores)
+        timer.tick()
+        n = batch["num_valid"]
+        dets.extend(detections_from_nms_result(res, num_valid=n))
+        for i in range(n):
+            gts.append({
+                "boxes": batch["boxes"][i],
+                "labels": batch["labels"][i],
+                "difficult": np.zeros(batch["labels"][i].shape, bool),
+            })
+            if drawn < args.draw:
+                img = draw_predictions(
+                    batch["image"][i],
+                    np.asarray(res.boxes[i]), np.asarray(res.scores[i]),
+                    np.asarray(res.classes[i]), labels,
+                    score_threshold=args.score_threshold,
+                    path=os.path.join(args.output_dir,
+                                      f"{batch['ids'][i]}.png"))
+                drawn += 1
+        seen += n
+        if args.limit and seen >= args.limit:
+            break
+
+    summary = timer.summary(items_per_step=args.batch_size)
+    if summary:
+        print(f"inference: {summary.get('items_per_sec', 0):.1f} img/s "
+              f"(p50 batch {summary['p50_s'] * 1e3:.2f}ms, "
+              f"batch={args.batch_size})")
+    if not args.no_eval and not args.image_dir:
+        evaluate_predictions(gts, dets, num_classes=cfg.total_labels - 1,
+                             class_names=labels)
+
+
+if __name__ == "__main__":
+    main()

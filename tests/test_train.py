@@ -1,0 +1,173 @@
+"""Training semantics tests: one step decreases loss, overfit a tiny
+synthetic set, LR schedule, data-parallel parity on the 8-device mesh,
+checkpoint round-trip (SURVEY.md §4 items 3/5/6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfssd_tpu import get_hyper_params
+from tfssd_tpu.data import SyntheticDataset, batch_examples
+from tfssd_tpu.models import get_model
+from tfssd_tpu.ops.boxes import generate_anchors
+from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
+from tfssd_tpu.train import (
+    TrainState,
+    create_train_state,
+    get_step_size,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    scheduler,
+)
+
+
+def _tiny_setup(batch_size=4, img_size=96, augment=False):
+    # A shrunken mobilenet config: smaller image, fewer anchors, 5 classes.
+    cfg = get_hyper_params(
+        "mobilenet_v2",
+        img_size=img_size,
+        feature_map_shapes=(6, 3, 2, 1, 1, 1),
+        total_labels=6,
+        max_gt_boxes=8,
+    )
+    model = get_model(cfg)
+    anchors = generate_anchors(cfg)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.key(0), opt)
+    step = make_train_step(model, anchors, opt, augment=augment)
+    ds = SyntheticDataset(num_examples=batch_size, image_size=img_size,
+                          max_objects=2, seed=7, num_classes=5)
+    batch = next(batch_examples(ds, batch_size, cfg.max_gt_boxes))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k in ("image", "boxes", "labels")}
+    return cfg, model, anchors, opt, state, step, batch
+
+
+def test_scheduler_mirrors_reference():
+    assert scheduler(0) == pytest.approx(1e-3)
+    assert scheduler(79) == pytest.approx(1e-3)
+    assert scheduler(80) == pytest.approx(1e-4)
+    assert scheduler(110) == pytest.approx(1e-5)
+    sched = make_lr_schedule(steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(800)) == pytest.approx(1e-4)
+    assert float(sched(1100)) == pytest.approx(1e-5, rel=1e-4)
+
+
+def test_get_step_size():
+    assert get_step_size(100, 32) == 4
+    assert get_step_size(96, 32) == 3
+
+
+def test_train_step_decreases_loss_and_updates_state():
+    _, _, _, _, state, step, batch = _tiny_setup()
+    jstep = jax.jit(step)
+    rng = jax.random.key(1)
+    s1, m1 = jstep(state, batch, rng)
+    assert int(s1.step) == 1
+    # params actually moved
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree_util.tree_map(lambda a, b: a - b, s1.params, state.params),
+        0.0)
+    assert diff > 0
+    losses = [float(m1["loss"])]
+    s = s1
+    for _ in range(15):
+        s, m = jstep(s, batch, rng)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert np.isfinite(losses).all()
+
+
+def test_overfit_tiny_synthetic():
+    # SURVEY.md §4 item 5: overfitting a few images approaches ~0 loss.
+    _, _, _, _, state, step, batch = _tiny_setup()
+    jstep = jax.jit(step)
+    rng = jax.random.key(0)
+    s = state
+    for _ in range(150):
+        s, m = jstep(s, batch, rng)
+    assert float(m["loss"]) < 0.6, float(m["loss"])
+
+
+def test_augmented_step_runs():
+    _, _, _, _, state, step, batch = _tiny_setup(augment=True)
+    s, m = jax.jit(step)(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_eval_step():
+    _, model, anchors, _, state, step, batch = _tiny_setup()
+    ev = jax.jit(make_eval_step(model, anchors))
+    m = ev(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_data_parallel_parity():
+    # Same batch: 1-device step vs 8-way sharded step must agree closely
+    # (SURVEY.md §4 item 6).
+    _, _, _, _, state, step, batch = _tiny_setup(batch_size=8)
+    rng = jax.random.key(3)
+    s_single, m_single = jax.jit(step)(state, batch, rng)
+
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    state_r = replicate(mesh, state)
+    batch_s = shard_batch(mesh, batch)
+    s_shard, m_shard = jax.jit(step)(state_r, batch_s, rng)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(s_single.params)[0]
+    b = jax.tree_util.tree_leaves(s_shard.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tfssd_tpu.utils.checkpoint import CheckpointManager
+
+    _, _, _, _, state, step, batch = _tiny_setup()
+    s1, _ = jax.jit(step)(state, batch, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, s1, val_loss=2.5)
+    assert mgr.latest_step() == 1
+    restored = mgr.restore(state)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_checkpoint_weights_restore_across_optimizers(tmp_path):
+    # predictor.py restores with a *different* optimizer than the trainer
+    # used (constant lr vs schedule): weights-only restore must still work.
+    from tfssd_tpu.utils.checkpoint import CheckpointManager
+    from tfssd_tpu.models import get_model
+    from tfssd_tpu.ops.boxes import generate_anchors
+    import optax
+
+    cfg = get_hyper_params(
+        "mobilenet_v2", img_size=96,
+        feature_map_shapes=(6, 3, 2, 1, 1, 1), total_labels=6,
+        max_gt_boxes=8)
+    model = get_model(cfg)
+    anchors = generate_anchors(cfg)
+    sched_opt = make_optimizer(make_lr_schedule(10))
+    state = create_train_state(model, jax.random.key(0), sched_opt)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(5, state, val_loss=1.0)
+
+    fresh = create_train_state(model, jax.random.key(1),
+                               make_optimizer(1e-3))
+    restored = mgr.restore_weights(fresh)
+    assert int(restored.step) == int(state.step)  # state's own step field
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()

@@ -1,0 +1,71 @@
+"""Utility layer tests: metrics logging, drawing, io path conventions."""
+
+import json
+import os
+
+import numpy as np
+
+from tfssd_tpu.utils.drawing import class_colors, draw_predictions
+from tfssd_tpu.utils.io import (
+    get_log_path,
+    get_model_path,
+    handle_args,
+    is_valid_backbone,
+)
+from tfssd_tpu.utils.metrics import MetricsLogger, StepTimer
+
+
+def test_metrics_logger(tmp_path):
+    log = MetricsLogger(str(tmp_path))
+    log.log(1, {"loss": 2.0}, prefix="train/")
+    log.log(2, {"val_loss": 1.5})
+    log.close()
+    lines = [json.loads(line) for line in open(log.path)]
+    assert lines[0]["train/loss"] == 2.0 and lines[0]["step"] == 1
+    assert lines[1]["val_loss"] == 1.5
+
+
+def test_step_timer():
+    t = StepTimer(skip=1)
+    t.start()
+    for _ in range(5):
+        t.tick()
+    s = t.summary(items_per_step=4)
+    assert s["steps"] == 4
+    assert s["items_per_sec"] > 0
+    assert s["p50_s"] <= s["p99_s"] + 1e-9
+
+
+def test_drawing(tmp_path):
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = str(tmp_path / "out.png")
+    res = draw_predictions(
+        img,
+        boxes=np.asarray([[0.1, 0.1, 0.5, 0.5], [0, 0, 0, 0]]),
+        scores=np.asarray([0.9, 0.0]),
+        classes=np.asarray([3, 0]),
+        labels=["bg"] + [f"c{i}" for i in range(1, 21)],
+        path=out,
+    )
+    assert os.path.exists(out)
+    arr = np.asarray(res)
+    assert arr.shape == (64, 64, 3)
+    assert arr.sum() > 0  # something was drawn
+    assert len(class_colors(20)) == 20
+    assert len(set(class_colors(20))) == 20
+
+
+def test_io_paths(tmp_path):
+    assert is_valid_backbone("vgg16") and not is_valid_backbone("resnet")
+    p = get_model_path("vgg16", str(tmp_path / "trained"))
+    assert p.endswith("ssd_vgg16") and os.path.isdir(os.path.dirname(p))
+    lp = get_log_path("vgg16", str(tmp_path / "logs"))
+    assert os.path.isdir(lp)
+
+
+def test_handle_args_surface():
+    parser = handle_args()
+    args = parser.parse_args(["--backbone", "vgg16", "--batch-size", "8"])
+    assert args.backbone == "vgg16" and args.batch_size == 8
+    args = parser.parse_args([])
+    assert args.backbone == "mobilenet_v2"  # reference default

@@ -1,0 +1,105 @@
+"""Host-side batching: examples -> padded numpy batches -> device.
+
+Reference parity: utils/data_utils.py get_data_types/get_data_shapes/
+get_padding_values + `padded_batch` and train_utils.generator — the
+reference pads the variable per-image gt count inside tf.data; here a
+thin numpy batcher pads gts to the static `max_gt_boxes` (the shape jit
+wants) and a double-buffered prefetcher overlaps host work with device
+compute.
+
+Preprocessing parity (data_utils.preprocessing): images are scaled to
+[-1, 1] at the device boundary (done in the jitted step: x * 2 - 1 on the
+[0, 1] float input) so host->device transfer stays uint8-sized when the
+source is uint8.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from queue import Queue
+from typing import Dict, Iterable, Iterator, Optional
+
+import numpy as np
+
+
+def pad_gt(boxes: np.ndarray, labels: np.ndarray, max_gt: int):
+    """Pad/truncate (G,4)/(G,) gt arrays to the static max_gt rows."""
+    g = min(len(labels), max_gt)
+    out_boxes = np.zeros((max_gt, 4), np.float32)
+    out_labels = np.zeros((max_gt,), np.int32)
+    out_boxes[:g] = boxes[:g]
+    out_labels[:g] = labels[:g]
+    return out_boxes, out_labels
+
+
+def batch_examples(
+    dataset: Iterable[Dict],
+    batch_size: int,
+    max_gt: int,
+    *,
+    repeat: bool = False,
+    shuffle_seed: Optional[int] = None,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield batches {'image' (B,S,S,3) uint8, 'boxes' (B,G,4) float32,
+    'labels' (B,G) int32, 'ids' list}. Short final batches are padded with
+    zero images (and all-background gts) when not dropped so shapes stay
+    static for jit."""
+    rng = (np.random.default_rng(shuffle_seed)
+           if shuffle_seed is not None else None)
+
+    def one_pass():
+        if rng is not None and hasattr(dataset, "example"):
+            order = rng.permutation(len(dataset))
+            return (dataset.example(int(i)) for i in order)
+        return iter(dataset)
+
+    passes = itertools.count() if repeat else range(1)
+    for _ in passes:
+        buf = []
+        for ex in one_pass():
+            buf.append(ex)
+            if len(buf) == batch_size:
+                yield _collate(buf, max_gt)
+                buf = []
+        if buf and not drop_remainder:
+            yield _collate(buf, max_gt, pad_to=batch_size)
+
+
+def _collate(examples, max_gt: int, pad_to: Optional[int] = None):
+    n = len(examples)
+    total = pad_to or n
+    s = examples[0]["image"].shape[0]
+    images = np.zeros((total, s, s, 3), examples[0]["image"].dtype)
+    boxes = np.zeros((total, max_gt, 4), np.float32)
+    labels = np.zeros((total, max_gt), np.int32)
+    ids = []
+    for i, ex in enumerate(examples):
+        images[i] = ex["image"]
+        boxes[i], labels[i] = pad_gt(ex["boxes"], ex["labels"], max_gt)
+        ids.append(ex.get("id", str(i)))
+    return {"image": images, "boxes": boxes, "labels": labels, "ids": ids,
+            "num_valid": n}
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch so host batching overlaps device steps
+    (the tf.data threadpool's job in the reference)."""
+    q: Queue = Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,61 @@
+"""Prediction decoding: deltas + logits -> final detections.
+
+Reference parity: models/decoder.py (`get_decoder_model`) — variance
+scaling, delta->box decode, clip to [0,1], softmax, drop the background
+column, combined per-class NMS, labels shifted +1 for the background
+offset. Here it is a pure function fused with the forward pass under one
+jit instead of a wrapper Keras model.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tfssd_tpu.config import SSDConfig
+from tfssd_tpu.ops import boxes as box_ops
+from tfssd_tpu.ops.nms import NMSResult, combined_nms
+
+Array = jnp.ndarray
+
+
+def decode_predictions(
+    anchors: Array,        # (N, 4)
+    pred_deltas: Array,    # (B, N, 4)
+    pred_logits: Array,    # (B, N, L) — raw logits, bg = column 0
+    config: SSDConfig,
+) -> NMSResult:
+    """Decode + NMS. Returned `classes` use the reference's label space
+    (1..L-1, i.e. background-shifted +1); padding rows are class 0/score 0."""
+    boxes = box_ops.decode(anchors, pred_deltas, config.variances)
+    boxes = box_ops.clip_boxes(boxes)
+    scores = jax.nn.softmax(pred_logits, axis=-1)[..., 1:]  # drop background
+    res = combined_nms(
+        boxes,
+        scores,
+        max_detections_per_class=config.max_detections_per_class,
+        max_total_detections=config.max_total_detections,
+        iou_threshold=config.nms_iou_threshold,
+        score_threshold=config.nms_score_threshold,
+    )
+    # Shift class ids back into the reference's 1-based label space.
+    shifted = jnp.where(res.classes >= 0, res.classes + 1, 0)
+    return NMSResult(boxes=res.boxes, scores=res.scores, classes=shifted,
+                     valid=res.valid)
+
+
+def make_predict_fn(model, anchors: Array, config: SSDConfig):
+    """Build the fused forward+decode inference function (jit-ready).
+
+    Mirror of reference `get_decoder_model(base_model, prior_boxes,
+    hyper_params)` — returns `predict(variables, images) -> NMSResult`.
+    """
+    anchors = jnp.asarray(anchors)
+
+    def predict(variables, images: Array) -> NMSResult:
+        pred_deltas, pred_logits = model.apply(variables, images, train=False)
+        return decode_predictions(anchors, pred_deltas, pred_logits, config)
+
+    return predict

@@ -1,0 +1,59 @@
+"""The SSD detector module: backbone -> multibox heads.
+
+Reference parity: models/ssd_vgg16.py + models/ssd_mobilenet_v2.py
+`get_model(hyper_params)` / `init_model(model)` — but as one Flax module
+whose apply is a pure function of (params, batch_stats, images), so the
+whole forward (trunk, extras, heads) is a single XLA program that jits
+and shards with no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tfssd_tpu.config import SSDConfig
+from tfssd_tpu.models.head import MultiboxHead
+from tfssd_tpu.models.mobilenet_v2 import MobileNetV2Backbone
+from tfssd_tpu.models.vgg16 import VGG16Backbone
+
+Array = jnp.ndarray
+
+
+class SSD(nn.Module):
+    """Full detector. __call__(images (B,H,W,3)) -> (deltas (B,N,4),
+    logits (B,N,L))."""
+
+    config: SSDConfig
+
+    @nn.compact
+    def __call__(self, images: Array, train: bool = False
+                 ) -> Tuple[Array, Array]:
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if cfg.backbone == "mobilenet_v2":
+            features = MobileNetV2Backbone(dtype=dtype, name="backbone")(
+                images, train)
+        elif cfg.backbone == "vgg16":
+            features = VGG16Backbone(dtype=dtype, ssd512=cfg.img_size == 512,
+                                     name="backbone")(images, train)
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
+        return MultiboxHead(cfg, dtype=dtype, name="head")(features)
+
+
+def get_model(config: SSDConfig) -> SSD:
+    """Mirror of reference `get_model(hyper_params)`."""
+    return SSD(config)
+
+
+def init_model(model: SSD, rng: jax.Array, batch_size: int = 1):
+    """Mirror of reference `init_model(model)` — dummy forward to build
+    shapes. Returns the full variable collection ({'params', 'batch_stats'})."""
+    cfg = model.config
+    dummy = jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3),
+                      jnp.float32)
+    return model.init(rng, dummy, train=False)

@@ -1,0 +1,174 @@
+"""Training semantics: train state, jitted train/eval steps, LR schedule.
+
+Reference parity: trainer.py + utils/train_utils.py — Adam(1e-3) with the
+step-decay `scheduler(epoch)` (1e-3 -> 1e-4 -> 1e-5), per-backbone
+hyperparams, GT matching + target encoding per batch, loss =
+loc + conf (ssd_loss.CustomLoss), `get_step_size` = ceil(total/batch).
+
+TPU-first restructure (SURVEY.md §7): the reference's hot loop runs GT
+matching in a Python generator on the host, outside the compiled step.
+Here ONE jitted, mesh-sharded function does everything after the raw
+uint8 batch lands on device: normalize -> (optional) batched augmentation
+-> anchor matching/encoding -> forward (bf16 trunk) -> loss -> grads ->
+Adam update. Gradients all-reduce over the "data" mesh axis automatically
+(XLA inserts the psum because params are replicated and the batch is
+sharded).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from tfssd_tpu.config import SSDConfig
+from tfssd_tpu.data.augment import augment_batch
+from tfssd_tpu.models.ssd import SSD
+from tfssd_tpu.ops.losses import ssd_losses
+from tfssd_tpu.ops.matching import match_batch
+
+Array = jnp.ndarray
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def scheduler(epoch: int, init_lr: float = 1e-3,
+              boundaries: Tuple[int, int] = (80, 110)) -> float:
+    """Mirror of reference train_utils.scheduler(epoch): step decay
+    1e-3 -> 1e-4 -> 1e-5 at the epoch boundaries."""
+    if epoch < boundaries[0]:
+        return init_lr
+    if epoch < boundaries[1]:
+        return init_lr * 0.1
+    return init_lr * 0.01
+
+
+def get_step_size(total_items: int, batch_size: int) -> int:
+    """Mirror of reference train_utils.get_step_size (ceil division)."""
+    return math.ceil(total_items / batch_size)
+
+
+def make_lr_schedule(steps_per_epoch: int, init_lr: float = 1e-3,
+                     boundaries: Tuple[int, int] = (80, 110)
+                     ) -> optax.Schedule:
+    """The reference's per-epoch step decay as a per-step optax schedule."""
+    return optax.piecewise_constant_schedule(
+        init_lr,
+        {boundaries[0] * steps_per_epoch: 0.1,
+         boundaries[1] * steps_per_epoch: 0.1},
+    )
+
+
+def make_optimizer(learning_rate) -> optax.GradientTransformation:
+    """Adam, as the reference compiles with (trainer.py: Adam(1e-3))."""
+    return optax.adam(learning_rate)
+
+
+def create_train_state(model: SSD, rng: jax.Array,
+                       optimizer: optax.GradientTransformation,
+                       batch_size: int = 1) -> TrainState:
+    cfg = model.config
+    variables = model.init(
+        rng, jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3)),
+        train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def preprocess_images(images: Array) -> Array:
+    """uint8 [0,255] or float [0,1] -> [-1, 1] (reference
+    data_utils.preprocessing pixel scaling)."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    return images * 2.0 - 1.0
+
+
+def make_train_step(model: SSD, anchors: Array,
+                    optimizer: optax.GradientTransformation,
+                    augment: bool = True):
+    """Build the fused train step: (state, batch, rng) -> (state, metrics).
+
+    `batch` = {'image' (B,S,S,3) uint8, 'boxes' (B,G,4), 'labels' (B,G)}.
+    Jit this (optionally with shardings from tfssd_tpu.parallel).
+    """
+    cfg = model.config
+    anchors = jnp.asarray(anchors)
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_labels):
+        actual_deltas, actual_labels = match_batch(
+            anchors, gt_boxes, gt_labels, cfg)
+        (pred_deltas, pred_logits), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        total, metrics = ssd_losses(
+            actual_deltas, actual_labels, pred_deltas, pred_logits,
+            cfg.neg_pos_ratio, cfg.loc_loss_alpha)
+        return total, (metrics, updates["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict[str, Array],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, Array]]:
+        images = batch["image"]
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        gt_boxes, gt_labels = batch["boxes"], batch["labels"]
+        if augment:
+            step_rng = jax.random.fold_in(rng, state.step)
+            images, gt_boxes, gt_labels = augment_batch(
+                step_rng, images, gt_boxes, gt_labels)
+        images = images * 2.0 - 1.0
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, gt_boxes, gt_labels)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: SSD, anchors: Array):
+    """Validation loss step (no augmentation, running BN stats)."""
+    cfg = model.config
+    anchors = jnp.asarray(anchors)
+
+    def eval_step(state: TrainState, batch: Dict[str, Array]
+                  ) -> Dict[str, Array]:
+        images = preprocess_images(batch["image"])
+        actual_deltas, actual_labels = match_batch(
+            anchors, batch["boxes"], batch["labels"], cfg)
+        pred_deltas, pred_logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        _, metrics = ssd_losses(
+            actual_deltas, actual_labels, pred_deltas, pred_logits,
+            cfg.neg_pos_ratio, cfg.loc_loss_alpha)
+        return metrics
+
+    return eval_step

@@ -1,0 +1,90 @@
+"""Checkpoint/resume via orbax.
+
+Reference parity: trainer.py's Keras `ModelCheckpoint(save_best_only=True,
+save_weights_only=True)` to `trained/ssd_{backbone}_model_weights.h5` and
+predictor.py's `load_weights` (SURVEY.md §5 "Checkpoint / resume"). The
+reference saves weights only (optimizer state lost on resume); here the
+full TrainState (params + batch_stats + opt_state + step) round-trips, so
+`--resume` restores training exactly. Best-by-val-loss retention mirrors
+`save_best_only`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from tfssd_tpu.train import TrainState
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save(step, state, metric), restore latest/best."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 best_mode: str = "min"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m["val_loss"]) if best_mode else None,
+            best_mode=best_mode,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: TrainState,
+             val_loss: Optional[float] = None) -> None:
+        metrics = {"val_loss": float(val_loss)} if val_loss is not None else None
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics=metrics)
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state_template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of `state_template` (an abstract or
+        concrete TrainState with the right shapes/dtypes)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint found in {self.directory}")
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, state_template)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+
+    def restore_weights(self, state_template: TrainState,
+                        step: Optional[int] = None) -> TrainState:
+        """Weights-only restore (params + batch_stats + step), keeping the
+        template's optimizer state untouched.
+
+        This is the reference's `load_weights` path (predictor.py): the
+        inference CLI must not need to reconstruct the exact optimizer the
+        trainer used just to read the weights — optax opt_state pytree
+        structure depends on the schedule/chain, so a full StandardRestore
+        against a differently-built optimizer fails on structure mismatch.
+        """
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint found in {self.directory}")
+        raw = self._mgr.restore(step)  # no template: raw nested dicts
+        return TrainState(
+            step=jax.numpy.asarray(raw["step"]),
+            params=jax.tree_util.tree_map(jax.numpy.asarray, raw["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jax.numpy.asarray, raw["batch_stats"]),
+            opt_state=state_template.opt_state,
+        )
+
+    def close(self) -> None:
+        self._mgr.close()

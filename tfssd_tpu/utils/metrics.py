@@ -1,0 +1,78 @@
+"""Structured metrics logging + step timing.
+
+Reference parity: the Keras progress bar + TensorBoard scalars written by
+trainer.py's TensorBoard callback (SURVEY.md §5 "Metrics"). Here: a JSONL
+scalar writer (TensorBoard-compatible tags, trivially greppable offline)
+plus a throughput/step-time tracker with percentiles — BASELINE.md asks
+for images/sec/chip and p50 latency, which the reference never measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    """Append-only JSONL scalar log: one record per step."""
+
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, filename)
+        self._f = open(self.path, "a", buffering=1)
+
+    def log(self, step: int, scalars: Dict[str, float],
+            prefix: str = "") -> None:
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in scalars.items():
+            rec[f"{prefix}{k}"] = float(v)
+        self._f.write(json.dumps(rec) + "\n")
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class StepTimer:
+    """Wall-clock step timing with percentile summaries.
+
+    Call `tick()` around each step (after block_until_ready); first
+    `skip` ticks are treated as compile/warmup and excluded.
+    """
+
+    def __init__(self, skip: int = 2):
+        self.skip = skip
+        self._times: List[float] = []
+        self._last: Optional[float] = None
+
+    def start(self) -> None:
+        self._last = time.perf_counter()
+
+    def tick(self) -> float:
+        now = time.perf_counter()
+        dt = now - (self._last if self._last is not None else now)
+        self._last = now
+        self._times.append(dt)
+        return dt
+
+    @property
+    def measured(self) -> List[float]:
+        return self._times[self.skip:]
+
+    def summary(self, items_per_step: Optional[int] = None) -> Dict[str, float]:
+        ts = np.asarray(self.measured)
+        if ts.size == 0:
+            return {}
+        out = {
+            "steps": int(ts.size),
+            "mean_s": float(ts.mean()),
+            "p50_s": float(np.percentile(ts, 50)),
+            "p90_s": float(np.percentile(ts, 90)),
+            "p99_s": float(np.percentile(ts, 99)),
+        }
+        if items_per_step:
+            out["items_per_sec"] = items_per_step / out["p50_s"]
+        return out

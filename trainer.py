@@ -1,0 +1,155 @@
+"""Training entry point.
+
+Reference parity: trainer.py — `python trainer.py --backbone
+{vgg16,mobilenet_v2}` trains SSD300 on VOC (reference: tfds VOC07+12
+trainval; here: a raw VOCdevkit directory via --data-root, or the
+synthetic dataset when none is available), with augmentation, Adam(1e-3)
++ the step-decay scheduler, best-by-val-loss checkpointing and metric
+logging (SURVEY.md §3.1).
+
+TPU-native: one jitted train step (augment -> match -> forward -> loss ->
+update) sharded over a data-parallel mesh of all visible chips; host work
+is only batching uint8 images.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfssd_tpu import get_hyper_params
+from tfssd_tpu.data import SyntheticDataset, VOCDataset, batch_examples, prefetch
+from tfssd_tpu.models import get_model
+from tfssd_tpu.ops.boxes import generate_anchors
+from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
+from tfssd_tpu.train import (
+    create_train_state,
+    get_step_size,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+from tfssd_tpu.utils.checkpoint import CheckpointManager
+from tfssd_tpu.utils.io import get_log_path, get_model_path, handle_args
+from tfssd_tpu.utils.metrics import MetricsLogger, StepTimer
+
+
+def make_datasets(args, img_size: int):
+    if args.dataset == "voc" and args.data_root:
+        train = VOCDataset(args.data_root, args.train_split,
+                           image_size=img_size)
+        val = VOCDataset(args.data_root, args.val_split, image_size=img_size)
+    else:
+        train = SyntheticDataset(args.synthetic_size, image_size=img_size,
+                                 seed=0)
+        val = SyntheticDataset(max(args.synthetic_size // 8, 8),
+                               image_size=img_size, seed=10_000)
+    return train, val
+
+
+def main():
+    parser = handle_args("tfssd_tpu trainer")
+    parser.add_argument("--epochs", type=int, default=120)
+    parser.add_argument("--steps-per-epoch", type=int, default=None,
+                        help="override; default = ceil(len(train)/batch)")
+    parser.add_argument("--train-split", default="trainval")
+    parser.add_argument("--val-split", default="val")
+    parser.add_argument("--synthetic-size", type=int, default=512)
+    parser.add_argument("--no-augment", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--init-lr", type=float, default=1e-3)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 conv trunk (recommended on TPU)")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    cfg = get_hyper_params(
+        args.backbone,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    print(f"backbone={cfg.backbone} img={cfg.img_size} "
+          f"anchors={cfg.total_anchors} devices={jax.device_count()}")
+
+    train_ds, val_ds = make_datasets(args, cfg.img_size)
+    steps_per_epoch = args.steps_per_epoch or get_step_size(
+        len(train_ds), args.batch_size)
+
+    model = get_model(cfg)
+    anchors = generate_anchors(cfg)
+    schedule = make_lr_schedule(steps_per_epoch, args.init_lr)
+    optimizer = make_optimizer(schedule)
+    state = create_train_state(model, jax.random.key(args.seed), optimizer)
+
+    mesh = get_mesh()
+    state = replicate(mesh, state)
+    train_step = jax.jit(
+        make_train_step(model, anchors, optimizer,
+                        augment=not args.no_augment))
+    eval_step = jax.jit(make_eval_step(model, anchors))
+
+    ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    log = MetricsLogger(get_log_path(args.backbone, args.log_dir))
+    rng = jax.random.key(args.seed + 1)
+    timer = StepTimer(skip=2)
+    timer.start()
+
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        it = prefetch(batch_examples(
+            train_ds, args.batch_size, cfg.max_gt_boxes,
+            shuffle_seed=args.seed * 10_000 + epoch))
+        epoch_metrics = []
+        for step_in_epoch, batch in enumerate(it):
+            if step_in_epoch >= steps_per_epoch:
+                break
+            device_batch = shard_batch(mesh, {
+                "image": batch["image"],
+                "boxes": batch["boxes"],
+                "labels": batch["labels"],
+            })
+            state, metrics = train_step(state, device_batch, rng)
+            jax.block_until_ready(metrics["loss"])
+            dt = timer.tick()
+            epoch_metrics.append(
+                {k: float(v) for k, v in metrics.items()})
+            if step_in_epoch % 50 == 0:
+                m = epoch_metrics[-1]
+                print(f"epoch {epoch} step {step_in_epoch}/{steps_per_epoch} "
+                      f"loss={m['loss']:.4f} loc={m['loc_loss']:.4f} "
+                      f"conf={m['conf_loss']:.4f} {dt * 1e3:.0f}ms")
+            log.log(int(state.step), epoch_metrics[-1], prefix="train/")
+
+        # validation
+        val_losses = []
+        for batch in batch_examples(val_ds, args.batch_size,
+                                    cfg.max_gt_boxes):
+            device_batch = shard_batch(mesh, {
+                "image": batch["image"],
+                "boxes": batch["boxes"],
+                "labels": batch["labels"],
+            })
+            val_losses.append(float(eval_step(state, device_batch)["loss"]))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        tr = float(np.mean([m["loss"] for m in epoch_metrics]))
+        print(f"epoch {epoch}: train_loss={tr:.4f} val_loss={val_loss:.4f} "
+              f"lr={float(schedule(int(state.step))):.2e}")
+        log.log(int(state.step), {"val_loss": val_loss, "epoch": epoch})
+        ckpt.save(int(state.step), jax.device_get(state), val_loss=val_loss)
+
+    summary = timer.summary(items_per_step=args.batch_size)
+    if summary:
+        print(f"throughput: {summary.get('items_per_sec', 0):.1f} img/s "
+              f"(p50 step {summary['p50_s'] * 1e3:.1f}ms)")
+    ckpt.close()
+    log.close()
+
+
+if __name__ == "__main__":
+    main()
