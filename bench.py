@@ -23,10 +23,23 @@ import numpy as np
 TARGET_IMG_PER_S = 5000.0
 
 
-def _time_fn(fn, args, iters: int, warmup: int = 3) -> float:
-    """Median wall-clock seconds per call."""
+def _time_fn(fn, args, iters: int, warmup: int = 3,
+             streaming: bool = True) -> float:
+    """Seconds per call.
+
+    streaming=True (throughput mode): submit `iters` calls back-to-back
+    and divide total wall-clock by iters — the steady-state pipelined rate
+    a serving loop sees (and what BASELINE.md's batch-256 streaming config
+    means). streaming=False: median of individually-synchronized calls
+    (latency mode, used for the p50 configs).
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
+    if streaming:
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / iters
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -101,7 +114,7 @@ def bench_nms_p50(batch_size: int = 1, iters: int = 50,
     logits = jnp.asarray(rng.normal(0, 2, (batch_size, cfg.total_anchors,
                                            cfg.total_labels)), jnp.float32)
     fn = jax.jit(lambda d, l: decode_predictions(anchors, d, l, cfg))
-    dt = _time_fn(fn, (deltas, logits), iters)
+    dt = _time_fn(fn, (deltas, logits), iters, streaming=False)
     return dt
 
 

@@ -90,3 +90,33 @@ def test_nms_jit_and_batch():
         same = cc[:, None] == cc[None, :]
         off = ~np.eye(v, dtype=bool)
         assert np.all(iou[same & off] <= 0.45 + 1e-6)
+
+
+def test_fixpoint_matches_sequential_greedy():
+    # The MXU fixpoint formulation must equal the textbook sequential
+    # greedy on random candidate sets, including adversarial chains.
+    rng = np.random.RandomState(7)
+    from tfssd_tpu.ops import boxes as box_ops
+
+    for trial in range(8):
+        k = 64
+        centers = rng.uniform(0.2, 0.8, size=(k, 2))
+        sizes = rng.uniform(0.05, 0.4, size=(k, 2))
+        b = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1)
+        b = np.clip(b, 0, 1).astype(np.float32)
+        ious = box_ops.iou_matrix(jnp.asarray(b), jnp.asarray(b))
+        valid = jnp.asarray(rng.rand(k) > 0.1)
+        fast = nms._greedy_keep(ious, valid, 0.45)
+        slow = nms._greedy_keep_sequential(ious, valid, 0.45)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+    # adversarial chain: each box overlaps only its neighbor
+    k = 32
+    b = np.zeros((k, 4), np.float32)
+    for i in range(k):
+        b[i] = [0.0, i * 0.05, 0.1, i * 0.05 + 0.09]  # ~45% overlap chain
+    ious = box_ops.iou_matrix(jnp.asarray(b), jnp.asarray(b))
+    valid = jnp.ones(k, bool)
+    fast = nms._greedy_keep(ious, valid, 0.3)
+    slow = nms._greedy_keep_sequential(ious, valid, 0.3)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
