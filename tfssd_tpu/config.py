@@ -64,6 +64,9 @@ class SSDConfig:
     # TPU compute dtype for the conv trunk ("bfloat16" or "float32").
     # Parameters always live in float32.
     compute_dtype: str = "float32"
+    # Use the Pallas native-tier kernels (ops/kernels/) where available
+    # instead of the jnp reference implementations.
+    use_pallas: bool = False
 
     # ---- derived ----
 

@@ -1,0 +1,14 @@
+"""Pallas (Mosaic) TPU kernels — the framework's native-code tier.
+
+The reference has zero native code (pure TF2 Python, SURVEY.md §2); its
+heavy ops are stock TF C++ kernels. Here the equivalent tier is Pallas:
+hand-fused TPU kernels for the hot ops, each with a jax.numpy reference
+implementation and parity tests (SURVEY.md §4 item 4), selectable via
+`SSDConfig.use_pallas`.
+
+  match_encode.py  — fused IoU + argmax matching + delta encoding
+                     (training's per-step hot op; the reference computes
+                     this eagerly on host per batch)
+"""
+
+from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas  # noqa: F401

@@ -1,0 +1,162 @@
+"""Fused anchor-matching + target-encoding Pallas TPU kernel.
+
+Reference parity: utils/train_utils.py:calculate_actual_outputs — the
+same math as tfssd_tpu.ops.matching.match_single (the jnp reference this
+kernel is tested against), but fused into one VMEM-resident pass:
+
+  per (image, anchor-tile) program:
+    IoU(anchor_tile, gt) -> max/argmax over gt -> positive mask
+    -> one-hot(argmax) @ gt_boxes on the MXU (the gather)
+    -> center-form delta encode / variances
+
+The jnp path materializes the (B, N, G) IoU tensor plus argmax/gather
+intermediates in HBM; here nothing bigger than a (TILE_N, G) tile ever
+leaves VMEM, and the gt gather is a tiny matmul instead of a dynamic
+gather. Outputs match `ops.matching.match_batch` exactly (same tie-break:
+first best gt wins).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tfssd_tpu.config import SSDConfig
+
+Array = jnp.ndarray
+
+TILE_N = 512  # anchors per program; N is padded to a multiple of this
+EPS = 1e-8
+
+
+def _kernel(anchors_ref, gt_ref, lab_ref, deltas_ref, labels_ref,
+            *, iou_threshold: float, variances: Tuple[float, ...]):
+    a = anchors_ref[:]            # (T, 4) f32
+    g = gt_ref[0]                 # (G, 4) f32
+    lab = lab_ref[0, 0]           # (G,) i32 (input carried as (B, 1, G))
+
+    # --- pairwise IoU (T, G) ---
+    ay0, ax0, ay1, ax1 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    gy0, gx0, gy1, gx1 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+    iy0 = jnp.maximum(ay0, gy0[None, :])
+    ix0 = jnp.maximum(ax0, gx0[None, :])
+    iy1 = jnp.minimum(ay1, gy1[None, :])
+    ix1 = jnp.minimum(ax1, gx1[None, :])
+    inter = jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0)
+    area_a = jnp.maximum(ay1 - ay0, 0.0) * jnp.maximum(ax1 - ax0, 0.0)
+    area_g = jnp.maximum(gy1 - gy0, 0.0) * jnp.maximum(gx1 - gx0, 0.0)
+    union = area_a + area_g[None, :] - inter
+    iou = inter / jnp.maximum(union, EPS)
+    iou = jnp.where((lab > 0)[None, :], iou, 0.0)        # mask padded gts
+
+    # --- best gt per anchor (first-best tie-break, as argmax) ---
+    best = jnp.max(iou, axis=1, keepdims=True)           # (T, 1)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 1)
+    is_best = iou == best
+    first_best = jnp.min(jnp.where(is_best, g_idx, iou.shape[1]),
+                         axis=1, keepdims=True)          # (T, 1)
+    onehot = (g_idx == first_best).astype(jnp.float32)   # (T, G)
+
+    # --- gather via MXU: (T, G) @ (G, 4). HIGHEST precision: the default
+    # bf16 MXU pass would round gt coordinates (~0.3%), which the /variance
+    # scaling amplifies ~10x in the encoded deltas. ---
+    mbox = jnp.dot(onehot, g, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    mlab = jnp.sum(onehot * lab[None, :].astype(jnp.float32), axis=1)
+
+    pos = best[:, 0] > iou_threshold                     # (T,)
+
+    # --- encode (center-form deltas / variances) ---
+    acy = (ay0 + ay1)[:, 0] * 0.5
+    acx = (ax0 + ax1)[:, 0] * 0.5
+    ah = jnp.maximum((ay1 - ay0)[:, 0], EPS)
+    aw = jnp.maximum((ax1 - ax0)[:, 0], EPS)
+    gh = mbox[:, 2] - mbox[:, 0]
+    gw = mbox[:, 3] - mbox[:, 1]
+    gvalid = (gh > EPS) & (gw > EPS)
+    gh_s = jnp.where(gvalid, gh, 1.0)
+    gw_s = jnp.where(gvalid, gw, 1.0)
+    gcy = (mbox[:, 0] + mbox[:, 2]) * 0.5
+    gcx = (mbox[:, 1] + mbox[:, 3]) * 0.5
+    v0, v1, v2, v3 = variances
+    d = jnp.stack([
+        (gcy - acy) / ah / v0,
+        (gcx - acx) / aw / v1,
+        jnp.log(gh_s / ah) / v2,
+        jnp.log(gw_s / aw) / v3,
+    ], axis=-1)
+    d = jnp.where((pos & gvalid)[:, None], d, 0.0)
+
+    deltas_ref[0] = d
+    # labels output carries a trailing unit dim for TPU tile alignment
+    labels_ref[0] = jnp.where(pos, mlab.astype(jnp.int32), 0)[:, None]
+
+
+def match_encode_pallas(
+    anchors: Array,      # (N, 4) f32
+    gt_boxes: Array,     # (B, G, 4) f32, zero-padded
+    gt_labels: Array,    # (B, G) i32, 0 on padding
+    config: SSDConfig,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array]:
+    """Fused targets: (deltas (B, N, 4) f32, matched labels (B, N) i32).
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
+    (CPU tests / virtual meshes have no Mosaic backend)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = anchors.shape[0]
+    b, g = gt_labels.shape
+    n_pad = -(-n // TILE_N) * TILE_N
+    if n_pad != n:
+        # Padded anchors are zero boxes -> IoU 0 -> negative; rows are
+        # sliced off below.
+        anchors = jnp.pad(anchors, ((0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, iou_threshold=config.iou_threshold,
+        variances=tuple(config.variances))
+    deltas, labels = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // TILE_N),
+        in_specs=[
+            pl.BlockSpec((TILE_N, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_N, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(anchors, gt_boxes, gt_labels[:, None, :])
+    return deltas[:, :n], labels[:, :n, 0]
+
+
+def match_batch_pallas(
+    anchors: Array,
+    gt_boxes: Array,
+    gt_labels: Array,
+    config: SSDConfig,
+    interpret: bool | None = None,
+) -> Tuple[Array, Array]:
+    """Drop-in replacement for ops.matching.match_batch: returns
+    (deltas (B, N, 4), one-hot labels (B, N, L))."""
+    deltas, labels = match_encode_pallas(anchors, gt_boxes, gt_labels,
+                                         config, interpret=interpret)
+    onehot = jax.nn.one_hot(labels, config.total_labels, dtype=deltas.dtype)
+    return deltas, onehot

@@ -30,7 +30,16 @@ from tfssd_tpu.config import SSDConfig
 from tfssd_tpu.data.augment import augment_batch
 from tfssd_tpu.models.ssd import SSD
 from tfssd_tpu.ops.losses import ssd_losses
-from tfssd_tpu.ops.matching import match_batch
+from tfssd_tpu.ops.matching import match_batch as _match_batch_jnp
+
+
+def _matcher(cfg: SSDConfig):
+    """Select the GT matcher: Pallas fused kernel (config.use_pallas) or
+    the jnp reference (ops.matching.match_batch)."""
+    if cfg.use_pallas:
+        from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas
+        return match_batch_pallas
+    return _match_batch_jnp
 
 Array = jnp.ndarray
 
@@ -111,6 +120,8 @@ def make_train_step(model: SSD, anchors: Array,
     cfg = model.config
     anchors = jnp.asarray(anchors)
 
+    match_batch = _matcher(cfg)
+
     def loss_fn(params, batch_stats, images, gt_boxes, gt_labels):
         actual_deltas, actual_labels = match_batch(
             anchors, gt_boxes, gt_labels, cfg)
@@ -157,6 +168,8 @@ def make_eval_step(model: SSD, anchors: Array):
     """Validation loss step (no augmentation, running BN stats)."""
     cfg = model.config
     anchors = jnp.asarray(anchors)
+
+    match_batch = _matcher(cfg)
 
     def eval_step(state: TrainState, batch: Dict[str, Array]
                   ) -> Dict[str, Array]:

@@ -64,12 +64,15 @@ def main():
     parser.add_argument("--init-lr", type=float, default=1e-3)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 conv trunk (recommended on TPU)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the Pallas native-tier kernels")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     cfg = get_hyper_params(
         args.backbone,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.pallas)
     print(f"backbone={cfg.backbone} img={cfg.img_size} "
           f"anchors={cfg.total_anchors} devices={jax.device_count()}")
 
@@ -126,10 +129,12 @@ def main():
                       f"conf={m['conf_loss']:.4f} {dt * 1e3:.0f}ms")
             log.log(int(state.step), epoch_metrics[-1], prefix="train/")
 
-        # validation
+        # validation (keep partial batches: a val set smaller than the
+        # batch size must still produce a val_loss, not inf)
         val_losses = []
         for batch in batch_examples(val_ds, args.batch_size,
-                                    cfg.max_gt_boxes):
+                                    cfg.max_gt_boxes,
+                                    drop_remainder=False):
             device_batch = shard_batch(mesh, {
                 "image": batch["image"],
                 "boxes": batch["boxes"],
