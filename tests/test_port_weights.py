@@ -1,0 +1,110 @@
+"""Keras -> Flax weight porting + graph parity vs TF (SURVEY.md §4 item 7:
+fixed weights -> outputs match within fp tolerance).
+
+Builds randomly-initialized keras.applications trunks, ports the weights,
+and asserts the Flax backbones reproduce the Keras feature maps at the
+SSD tap points. This is the layer-for-layer proof that our trunks ARE
+the reference's trunks.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tfssd_tpu.models.mobilenet_v2 import MobileNetV2Backbone  # noqa: E402
+from tfssd_tpu.models.vgg16 import VGG16Backbone  # noqa: E402
+from tfssd_tpu.utils.port_weights import (  # noqa: E402
+    graft,
+    keras_model_weights,
+    port_mobilenet_v2,
+    port_vgg16,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tf_cpu():
+    tf.config.set_visible_devices([], "GPU")
+    yield
+
+
+def test_mobilenet_v2_trunk_parity():
+    keras_model = tf.keras.applications.MobileNetV2(
+        input_shape=(300, 300, 3), include_top=False, weights=None)
+    weights = keras_model_weights(keras_model)
+    tree = port_mobilenet_v2(weights)
+
+    backbone = MobileNetV2Backbone()
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 300, 300, 3)).astype(
+        np.float32)
+    variables = backbone.init(jax.random.key(0), jnp.asarray(x), train=False)
+    variables = graft({"params": {"backbone": variables["params"]},
+                       "batch_stats": {"backbone": variables["batch_stats"]}},
+                      tree)
+    flax_vars = {"params": variables["params"]["backbone"],
+                 "batch_stats": variables["batch_stats"]["backbone"]}
+    taps = backbone.apply(flax_vars, jnp.asarray(x), train=False)
+
+    # Keras reference taps.
+    tap1 = tf.keras.Model(keras_model.input, keras_model.get_layer(
+        "block_13_expand_relu").output)(x).numpy()
+    tap2 = keras_model(x).numpy()  # out_relu 10x10x1280
+
+    got1 = np.asarray(taps[0])
+    got2 = np.asarray(taps[1])
+    assert got1.shape == tap1.shape, (got1.shape, tap1.shape)
+    assert got2.shape == tap2.shape, (got2.shape, tap2.shape)
+    np.testing.assert_allclose(got1, tap1, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got2, tap2, atol=2e-4, rtol=1e-3)
+
+
+def test_vgg16_trunk_parity():
+    keras_model = tf.keras.applications.VGG16(
+        input_shape=(300, 300, 3), include_top=False, weights=None)
+    weights = keras_model_weights(keras_model)
+    tree = port_vgg16(weights)
+
+    backbone = VGG16Backbone()
+    x = np.random.default_rng(1).uniform(-1, 1, (1, 300, 300, 3)).astype(
+        np.float32)
+    variables = backbone.init(jax.random.key(0), jnp.asarray(x), train=False)
+    params = dict(variables["params"])
+    for k, v in tree["params"].items():
+        params[k] = jax.tree_util.tree_map(jnp.asarray, v)
+
+    # Stock Keras VGG16 floor-pools 75 -> 37 at pool3; SSD300's canonical
+    # spec (and the reference's 38x38 conv4_3 / 8732-anchor layout) needs
+    # ceil-mode 75 -> 38, which our backbone implements. Parity is
+    # therefore asserted at block3_conv3 (75x75, the last point both
+    # graphs agree structurally) — it covers all 7 ported conv layers up
+    # to there plus 2 pools; the remaining ported layers use the identical
+    # mapping code path.
+    keras_c33 = tf.keras.Model(
+        keras_model.input,
+        keras_model.get_layer("block3_conv3").output)(x).numpy()
+
+    import flax.linen as fnn
+    from tfssd_tpu.models.vgg16 import _conv_group, _pool
+
+    class Trunk3(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = _conv_group(x, 64, 2, "conv1", jnp.float32)
+            x = _pool(x)
+            x = _conv_group(x, 128, 2, "conv2", jnp.float32)
+            x = _pool(x)
+            return _conv_group(x, 256, 3, "conv3", jnp.float32)
+
+    t3 = Trunk3()
+    v3 = t3.init(jax.random.key(0), jnp.asarray(x))
+    p3 = {k: params[k] for k in v3["params"]}
+    got = np.asarray(t3.apply({"params": p3}, jnp.asarray(x)))
+    assert got.shape == keras_c33.shape
+    np.testing.assert_allclose(got, keras_c33, atol=2e-4, rtol=1e-3)
+
+    # Full backbone still produces the SSD300-canonical 38x38 first map.
+    taps = backbone.apply({"params": params}, jnp.asarray(x), train=False)
+    assert taps[0].shape == (1, 38, 38, 512)
