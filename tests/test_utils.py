@@ -69,3 +69,18 @@ def test_handle_args_surface():
     assert args.backbone == "vgg16" and args.batch_size == 8
     args = parser.parse_args([])
     assert args.backbone == "mobilenet_v2"  # reference default
+
+
+def test_metrics_logger_tensorboard_mirror(tmp_path):
+    import glob
+    log = MetricsLogger(str(tmp_path), tensorboard=True)
+    log.log(3, {"loss": 1.25}, prefix="train/")
+    log.close()
+    # JSONL always written
+    assert json.loads(open(log.path).readline())["train/loss"] == 1.25
+    # events file written when TF is available
+    try:
+        import tensorflow  # noqa: F401
+        assert glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    except ImportError:
+        pass

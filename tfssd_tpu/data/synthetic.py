@@ -42,11 +42,16 @@ class SyntheticDataset:
         self.max_objects = max_objects
         self.seed = seed
         self.num_classes = num_classes
+        self._cache = {}
 
     def __len__(self) -> int:
         return self.num_examples
 
     def example(self, index: int) -> Dict:
+        # Examples are deterministic in (seed, index); cache them so the
+        # host never regenerates scenes epoch over epoch.
+        if index in self._cache:
+            return self._cache[index]
         rng = np.random.default_rng(self.seed * 1_000_003 + index)
         s = self.image_size
         img = rng.integers(0, 80, (s, s, 3), dtype=np.uint8)
@@ -63,13 +68,15 @@ class SyntheticDataset:
             img[py0:py1, px0:px1] = _PALETTE[cls]
             boxes.append([py0 / s, px0 / s, py1 / s, px1 / s])
             labels.append(cls + 1)  # 1-based, 0 = background
-        return {
+        ex = {
             "image": img,
             "boxes": np.asarray(boxes, np.float32),
             "labels": np.asarray(labels, np.int32),
             "difficult": np.zeros(n, bool),
             "id": f"synthetic-{index:06d}",
         }
+        self._cache[index] = ex
+        return ex
 
     def __iter__(self) -> Iterator[Dict]:
         for i in range(self.num_examples):

@@ -18,12 +18,27 @@ import numpy as np
 
 
 class MetricsLogger:
-    """Append-only JSONL scalar log: one record per step."""
+    """Append-only JSONL scalar log, optionally mirrored to TensorBoard.
 
-    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+    The JSONL file is the source of truth (greppable offline); when
+    TensorFlow is importable and `tensorboard=True`, scalars are also
+    written as tf.summary events so the reference's TensorBoard workflow
+    (trainer.py's TensorBoard callback) carries over unchanged.
+    """
+
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self._f = open(self.path, "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(log_dir)
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float],
             prefix: str = "") -> None:
@@ -31,9 +46,18 @@ class MetricsLogger:
         for k, v in scalars.items():
             rec[f"{prefix}{k}"] = float(v)
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(f"{prefix}{k}", float(v),
+                                      step=int(step))
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepTimer:

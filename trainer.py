@@ -66,6 +66,17 @@ def main():
                         help="bfloat16 conv trunk (recommended on TPU)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the Pallas native-tier kernels")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of epoch 0 "
+                             "into the log dir")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="fail fast on NaNs (CI sanitizer)")
+    parser.add_argument("--ckpt-every", type=int, default=1,
+                        help="epochs between checkpoint saves (the final "
+                             "epoch always saves)")
+    parser.add_argument("--log-every", type=int, default=50,
+                        help="steps between metric host syncs (each sync "
+                             "is a device round trip)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -98,10 +109,14 @@ def main():
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
 
-    log = MetricsLogger(get_log_path(args.backbone, args.log_dir))
+    log_path = get_log_path(args.backbone, args.log_dir)
+    log = MetricsLogger(log_path)
+    if args.debug_nans:
+        from tfssd_tpu.utils.profiling import enable_debug_nans
+        enable_debug_nans()
     rng = jax.random.key(args.seed + 1)
-    timer = StepTimer(skip=2)
-    timer.start()
+    total_images = 0
+    train_start = None
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
@@ -109,6 +124,12 @@ def main():
             train_ds, args.batch_size, cfg.max_gt_boxes,
             shuffle_seed=args.seed * 10_000 + epoch))
         epoch_metrics = []
+        profiling = args.profile and epoch == start_epoch
+        if profiling:
+            from tfssd_tpu.utils import profiling as prof
+            trace_cm = prof.trace(log_path)
+            trace_cm.__enter__()
+        epoch_t0 = time.perf_counter()
         for step_in_epoch, batch in enumerate(it):
             if step_in_epoch >= steps_per_epoch:
                 break
@@ -118,16 +139,23 @@ def main():
                 "labels": batch["labels"],
             })
             state, metrics = train_step(state, device_batch, rng)
-            jax.block_until_ready(metrics["loss"])
-            dt = timer.tick()
-            epoch_metrics.append(
-                {k: float(v) for k, v in metrics.items()})
-            if step_in_epoch % 50 == 0:
-                m = epoch_metrics[-1]
+            # Steps dispatch asynchronously; only sync metrics to host at
+            # the logging cadence (each float() is a device round trip).
+            if step_in_epoch % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                epoch_metrics.append(m)
                 print(f"epoch {epoch} step {step_in_epoch}/{steps_per_epoch} "
                       f"loss={m['loss']:.4f} loc={m['loc_loss']:.4f} "
-                      f"conf={m['conf_loss']:.4f} {dt * 1e3:.0f}ms")
-            log.log(int(state.step), epoch_metrics[-1], prefix="train/")
+                      f"conf={m['conf_loss']:.4f}")
+                log.log(int(jax.device_get(state.step)), m, prefix="train/")
+        jax.block_until_ready(state.params)
+        if train_start is None:
+            train_start = time.perf_counter()  # exclude epoch-0 compile
+        else:
+            total_images += steps_per_epoch * args.batch_size
+        if profiling:
+            trace_cm.__exit__(None, None, None)
+            print(f"profiler trace written to {log_path}")
 
         # validation (keep partial batches: a val set smaller than the
         # batch size must still produce a val_loss, not inf)
@@ -146,12 +174,15 @@ def main():
         print(f"epoch {epoch}: train_loss={tr:.4f} val_loss={val_loss:.4f} "
               f"lr={float(schedule(int(state.step))):.2e}")
         log.log(int(state.step), {"val_loss": val_loss, "epoch": epoch})
-        ckpt.save(int(state.step), jax.device_get(state), val_loss=val_loss)
+        if (epoch + 1) % args.ckpt_every == 0 or epoch == args.epochs - 1:
+            ckpt.save(int(state.step), jax.device_get(state),
+                      val_loss=val_loss)
 
-    summary = timer.summary(items_per_step=args.batch_size)
-    if summary:
-        print(f"throughput: {summary.get('items_per_sec', 0):.1f} img/s "
-              f"(p50 step {summary['p50_s'] * 1e3:.1f}ms)")
+    if train_start is not None and total_images:
+        elapsed = time.perf_counter() - train_start
+        print(f"throughput: {total_images / elapsed:.1f} img/s "
+              f"(post-compile, {total_images} images in {elapsed:.1f}s "
+              f"incl. validation)")
     ckpt.close()
     log.close()
 
