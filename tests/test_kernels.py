@@ -116,3 +116,49 @@ def test_pallas_train_step_runs_on_cpu():
     batch = {k: jnp.asarray(batch[k]) for k in ("image", "boxes", "labels")}
     s, m = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_nms_keep_pallas_parity():
+    # Fused kernel keep decisions == exact greedy (jnp reference), K
+    # deliberately small so interpreter-mode while loops stay fast.
+    from tfssd_tpu.ops import boxes as box_ops
+    from tfssd_tpu.ops.kernels.nms_keep import nms_keep_pallas
+    from tfssd_tpu.ops.nms import _greedy_keep_sequential
+
+    rng = np.random.default_rng(11)
+    r, k = 6, 32
+    centers = rng.uniform(0.2, 0.8, (r, k, 2))
+    sizes = rng.uniform(0.05, 0.4, (r, k, 2))
+    boxes = np.clip(np.concatenate(
+        [centers - sizes / 2, centers + sizes / 2], -1), 0, 1).astype(
+            np.float32)
+    scores = np.sort(rng.uniform(0, 1, (r, k)).astype(np.float32),
+                     axis=-1)[:, ::-1].copy()
+    scores[:, -4:] = 0.0  # some below-threshold rows
+
+    keep = nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                           0.45, 0.05, interpret=True)
+    for i in range(r):
+        ious = box_ops.iou_matrix(jnp.asarray(boxes[i]),
+                                  jnp.asarray(boxes[i]))
+        ref = _greedy_keep_sequential(
+            ious, jnp.asarray(scores[i] > 0.05), 0.45)
+        np.testing.assert_array_equal(np.asarray(keep[i]), np.asarray(ref))
+
+
+def test_combined_nms_pallas_impl_matches_xla():
+    from tfssd_tpu.ops import nms as nms_mod
+
+    rng = np.random.RandomState(5)
+    raw = rng.uniform(0, 1, size=(2, 64, 2, 2)).astype(np.float32)
+    boxes = np.concatenate([raw.min(axis=2), raw.max(axis=2)], axis=-1)
+    scores = rng.uniform(0, 1, size=(2, 64, 4)).astype(np.float32)
+    a = nms_mod.combined_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             32, 16, 0.45, 0.3, impl="xla")
+    b = nms_mod.combined_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             32, 16, 0.45, 0.3, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.classes),
+                                  np.asarray(b.classes))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))

@@ -9,6 +9,9 @@ implementation and parity tests (SURVEY.md §4 item 4), selectable via
   match_encode.py  — fused IoU + argmax matching + delta encoding
                      (training's per-step hot op; the reference computes
                      this eagerly on host per batch)
+  nms_keep.py      — fused IoU + greedy-suppression (the
+                     combined_non_max_suppression core), VMEM-resident
 """
 
 from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas  # noqa: F401
+from tfssd_tpu.ops.kernels.nms_keep import nms_keep_pallas  # noqa: F401

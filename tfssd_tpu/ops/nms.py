@@ -9,16 +9,19 @@ boxes, returned as (boxes, scores, classes, valid_count) with class ids
 shifted +1 for the background offset.
 
 TPU-first design: `combined_non_max_suppression` has no XLA/TPU kernel, so
-this is the classic fixed-shape greedy algorithm:
+this is a fixed-shape formulation:
 
   1. per class: top-K candidates by score (K = max_detections_per_class),
   2. one K x K IoU matrix per (image, class) — a single fused broadcast,
-  3. greedy suppression as a `lax.fori_loop` over the K sorted candidates
-     updating a keep mask (each iteration is one VPU-wide vector op),
+  3. EXACT greedy suppression as a fixpoint iteration (`_greedy_keep`;
+     O(chain depth) batched sweeps, not K serial steps — see its
+     docstring and ARCHITECTURE.md),
   4. kept scores from all classes merged by a global top-K.
 
-Everything is static-shape, vmapped over (batch, class), and jit/pjit
-compatible. A fused Pallas variant lives in ops/kernels/nms_pallas.py.
+Everything is static-shape, batched over (batch, class), and jit/pjit
+compatible. `impl="pallas"` swaps stages 2-3 for the fused VMEM-resident
+kernel in ops/kernels/nms_keep.py (selected by SSDConfig.use_pallas in
+the decode path).
 """
 
 from __future__ import annotations
@@ -103,6 +106,7 @@ def combined_nms(
     max_total_detections: int = 200,
     iou_threshold: float = 0.45,
     score_threshold: float = 0.0,
+    impl: str = "xla",   # "xla" (fixpoint matvec) | "pallas" (fused kernel)
 ) -> NMSResult:
     """Batched combined (per-class) NMS; see module docstring.
 
@@ -124,13 +128,22 @@ def combined_nms(
     ).reshape(b, num_classes, k, 4)
     valid = top_scores > score_threshold
 
-    # Pairwise IoU per (image, class): (B, C, K, K). bf16 candidates: the
-    # IoU only feeds a >threshold compare, and halving the broadcast
-    # traffic matters more than the 3 decimal digits bf16 keeps.
-    top_boxes_c = top_boxes.astype(jnp.bfloat16)
-    ious = box_ops.iou_matrix(top_boxes_c, top_boxes_c)
-    keep = jax.vmap(jax.vmap(
-        lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
+    if impl == "pallas":
+        # Fused VMEM-resident IoU + suppression kernel (ops/kernels/).
+        from tfssd_tpu.ops.kernels.nms_keep import nms_keep_pallas
+
+        keep = nms_keep_pallas(
+            top_boxes.reshape(-1, k, 4), top_scores.reshape(-1, k),
+            iou_threshold, score_threshold,
+        ).reshape(b, num_classes, k)
+    else:
+        # Pairwise IoU per (image, class): (B, C, K, K). bf16 candidates:
+        # the IoU only feeds a >threshold compare, and halving the
+        # broadcast traffic matters more than the 3 digits bf16 keeps.
+        top_boxes_c = top_boxes.astype(jnp.bfloat16)
+        ious = box_ops.iou_matrix(top_boxes_c, top_boxes_c)
+        keep = jax.vmap(jax.vmap(
+            lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
 
     kept_scores = jnp.where(keep, top_scores, 0.0)
 
