@@ -122,7 +122,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="headline",
                    choices=("headline", "infer-b1", "train", "vgg-train",
-                            "ssd512-nms", "all"))
+                            "vgg-infer", "ssd512-nms", "all"))
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
@@ -143,13 +143,18 @@ def main():
         print(json.dumps({"metric": "infer_b1_latency_p50", "value":
                           round(dt * 1e3, 3), "unit": "ms"}))
     if args.config in ("train", "all"):
-        img_s, dt = bench_train(args.batch_size or 32, args.iters)
+        img_s, dt = bench_train(args.batch_size or 64, args.iters)
         print(json.dumps({"metric": "train_mbv2_images_per_sec",
                           "value": round(img_s, 2), "unit": "images/sec"}))
     if args.config in ("vgg-train", "all"):
         img_s, dt = bench_train(args.batch_size or 16, args.iters,
                                 backbone="vgg16")
         print(json.dumps({"metric": "train_vgg16_images_per_sec",
+                          "value": round(img_s, 2), "unit": "images/sec"}))
+    if args.config in ("vgg-infer", "all"):
+        img_s, dt = bench_inference(args.batch_size or 128, args.iters,
+                                    backbone="vgg16")
+        print(json.dumps({"metric": "infer_vgg16_images_per_sec",
                           "value": round(img_s, 2), "unit": "images/sec"}))
     if args.config in ("ssd512-nms", "all"):
         dt = bench_nms_p50(backbone="vgg16_512")

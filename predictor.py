@@ -50,12 +50,17 @@ def main():
     parser.add_argument("--score-threshold", type=float, default=0.5)
     parser.add_argument("--random-weights", action="store_true",
                         help="skip checkpoint loading (smoke testing)")
+    parser.add_argument("--port-h5", default=None,
+                        help="Keras h5/.keras model whose trunk weights "
+                             "are ported into the backbone (reference "
+                             "migration path); heads stay initialized "
+                             "unless a checkpoint is also loaded")
     args = parser.parse_args()
 
     cfg = get_hyper_params(args.backbone)
     # Fail fast on a missing checkpoint BEFORE paying the model build/compile.
     ckpt, step = None, None
-    if not args.random_weights:
+    if not args.random_weights and not args.port_h5:
         ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
         step = ckpt.best_step() or ckpt.latest_step()
         if step is None:
@@ -72,6 +77,15 @@ def main():
 
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.port_h5:
+        from tfssd_tpu.utils.port_weights import (
+            graft, load_keras_h5, port_mobilenet_v2, port_vgg16)
+
+        weights = load_keras_h5(args.port_h5)
+        porter = (port_mobilenet_v2 if cfg.backbone == "mobilenet_v2"
+                  else port_vgg16)
+        variables = graft(variables, porter(weights))
+        print(f"ported trunk weights from {args.port_h5}")
 
     if args.image_dir:
         dataset = list(custom_image_generator(
@@ -108,8 +122,9 @@ def main():
                     np.asarray(res.boxes[i]), np.asarray(res.scores[i]),
                     np.asarray(res.classes[i]), labels,
                     score_threshold=args.score_threshold,
-                    path=os.path.join(args.output_dir,
-                                      f"{batch['ids'][i]}.png"))
+                    path=os.path.join(
+                        args.output_dir,
+                        os.path.splitext(batch["ids"][i])[0] + ".png"))
                 drawn += 1
         seen += n
         if args.limit and seen >= args.limit:

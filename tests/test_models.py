@@ -64,3 +64,32 @@ def test_bfloat16_compute_path():
     assert p.dtype == jnp.float32
     assert deltas.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_remat_matches_no_remat():
+    # remat must change memory behavior only: same outputs, same grads,
+    # same param tree names (checkpoint compatibility).
+    cfg0 = get_hyper_params(
+        "mobilenet_v2", img_size=96, feature_map_shapes=(6, 3, 2, 1, 1, 1),
+        total_labels=6)
+    cfg1 = get_hyper_params(
+        "mobilenet_v2", img_size=96, feature_map_shapes=(6, 3, 2, 1, 1, 1),
+        total_labels=6, remat=True)
+    m0, m1 = get_model(cfg0), get_model(cfg1)
+    v0 = init_model(m0, jax.random.key(0))
+    v1 = init_model(m1, jax.random.key(0))
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+
+    x = jax.random.normal(jax.random.key(1), (2, 96, 96, 3))
+
+    def loss(m, v):
+        d, l = m.apply(v, x, train=False)
+        return jnp.sum(d ** 2) + jnp.sum(jax.nn.log_softmax(l) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda v: loss(m0, v))(v0)
+    l1, g1 = jax.value_and_grad(lambda v: loss(m1, v))(v1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

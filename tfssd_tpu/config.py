@@ -67,6 +67,10 @@ class SSDConfig:
     # Use the Pallas native-tier kernels (ops/kernels/) where available
     # instead of the jnp reference implementations.
     use_pallas: bool = False
+    # Rematerialize backbone activations in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(sqrt) activation
+    # memory, enabling much larger per-chip batches.
+    remat: bool = False
 
     # ---- derived ----
 

@@ -35,13 +35,20 @@ class SSD(nn.Module):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.backbone == "mobilenet_v2":
-            features = MobileNetV2Backbone(dtype=dtype, name="backbone")(
-                images, train)
+            backbone_cls = MobileNetV2Backbone
+            kwargs = dict(dtype=dtype)
         elif cfg.backbone == "vgg16":
-            features = VGG16Backbone(dtype=dtype, ssd512=cfg.img_size == 512,
-                                     name="backbone")(images, train)
+            backbone_cls = VGG16Backbone
+            kwargs = dict(dtype=dtype, ssd512=cfg.img_size == 512)
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
+        if cfg.remat:
+            # Rematerialize trunk activations in the backward pass
+            # (jax.checkpoint): larger per-chip batches for ~30% extra
+            # forward FLOPs. Param names are unchanged, so checkpoints
+            # port between remat settings.
+            backbone_cls = nn.remat(backbone_cls, static_argnums=(2,))
+        features = backbone_cls(**kwargs, name="backbone")(images, train)
         return MultiboxHead(cfg, dtype=dtype, name="head")(features)
 
 

@@ -66,6 +66,9 @@ def main():
                         help="bfloat16 conv trunk (recommended on TPU)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the Pallas native-tier kernels")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize backbone activations "
+                             "(larger batches, ~30%% more fwd FLOPs)")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into the log dir")
@@ -83,7 +86,8 @@ def main():
     cfg = get_hyper_params(
         args.backbone,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        use_pallas=args.pallas)
+        use_pallas=args.pallas,
+        remat=args.remat)
     print(f"backbone={cfg.backbone} img={cfg.img_size} "
           f"anchors={cfg.total_anchors} devices={jax.device_count()}")
 
