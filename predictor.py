@@ -48,6 +48,8 @@ def main():
     parser.add_argument("--draw", type=int, default=0,
                         help="save the first N images with drawn boxes")
     parser.add_argument("--score-threshold", type=float, default=0.5)
+    parser.add_argument("--workers", type=int, default=8,
+                        help="parallel host decode threads")
     parser.add_argument("--random-weights", action="store_true",
                         help="skip checkpoint loading (smoke testing)")
     parser.add_argument("--port-h5", default=None,
@@ -103,7 +105,8 @@ def main():
     timer.start()
     for batch in prefetch(batch_examples(
             dataset, args.batch_size, cfg.max_gt_boxes,
-            drop_remainder=False)):
+            drop_remainder=False,
+            workers=args.workers if not args.image_dir else 1)):
         images = preprocess_images(jax.numpy.asarray(batch["image"]))
         res = predict(variables, images)
         jax.block_until_ready(res.scores)

@@ -138,3 +138,22 @@ def test_augment_keeps_some_objects_on_average():
         total_in += int((np.asarray(labels) > 0).sum())
         total_out += int((np.asarray(ol) > 0).sum())
     assert total_out > 0.3 * total_in, (total_out, total_in)
+
+
+def test_parallel_workers_preserve_order_and_content():
+    ds = SyntheticDataset(num_examples=12, image_size=64, max_objects=3)
+    serial = list(batch_examples(ds, 4, 8, workers=1))
+    parallel = list(batch_examples(ds, 4, 8, workers=4))
+    assert len(serial) == len(parallel) == 3
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        assert a["ids"] == b["ids"]
+
+
+def test_parallel_workers_with_shuffle():
+    ds = SyntheticDataset(num_examples=16, image_size=64)
+    a = list(batch_examples(ds, 4, 8, shuffle_seed=3, workers=4))
+    b = list(batch_examples(ds, 4, 8, shuffle_seed=3, workers=1))
+    for x, y in zip(a, b):
+        assert x["ids"] == y["ids"]  # same permutation regardless of workers

@@ -120,3 +120,63 @@ def test_fixpoint_matches_sequential_greedy():
     fast = nms._greedy_keep(ious, valid, 0.3)
     slow = nms._greedy_keep_sequential(ious, valid, 0.3)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_planes_impl_matches_reference_layout():
+    # combined_nms_planes must reproduce combined_nms (both f32 IoU at
+    # small K so bf16 borderline effects don't apply: compare vs the
+    # sequential oracle per class instead of the bf16 fast path).
+    from tfssd_tpu.ops import boxes as box_ops
+
+    rng = np.random.RandomState(9)
+    b, n, c = 3, 80, 5
+    raw = rng.uniform(0, 1, size=(b, n, 2, 2)).astype(np.float32)
+    boxes = np.concatenate([raw.min(axis=2), raw.max(axis=2)], axis=-1)
+    scores = rng.uniform(0, 1, size=(b, n, c)).astype(np.float32)
+
+    planes = tuple(jnp.asarray(boxes[..., i]) for i in range(4))
+    scores_t = jnp.asarray(np.moveaxis(scores, 2, 1))
+    rp = nms.combined_nms_planes(planes, scores_t, 40, 20, 0.45, 0.2)
+
+    # oracle: per-class sequential greedy + global merge
+    k = 40
+    ts, ti = jax.lax.top_k(jnp.asarray(np.moveaxis(scores, 2, 1)), k)
+    for img in range(b):
+        got_rows = int(rp.valid[img])
+        kept_all = []
+        for cls in range(c):
+            idx = np.asarray(ti[img, cls])
+            cand = jnp.asarray(boxes[img][idx])
+            ious = box_ops.iou_matrix(cand, cand)
+            valid = jnp.asarray(np.asarray(ts[img, cls]) > 0.2)
+            keep = np.asarray(
+                nms._greedy_keep_sequential(ious, valid, 0.45))
+            for j in np.where(keep)[0]:
+                kept_all.append((float(ts[img, cls, j]), cls,
+                                 boxes[img][idx[j]]))
+        kept_all.sort(key=lambda r: -r[0])
+        kept_all = kept_all[:20]
+        assert got_rows == len(kept_all)
+        for row, (score, cls, box) in enumerate(kept_all):
+            assert abs(float(rp.scores[img, row]) - score) < 1e-6
+            assert int(rp.classes[img, row]) == cls
+            np.testing.assert_allclose(np.asarray(rp.boxes[img, row]), box,
+                                       atol=1e-6)
+
+
+def test_decode_to_planes_matches_decode():
+    from tfssd_tpu.ops import boxes as box_ops
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.ops.boxes import generate_anchors
+
+    cfg = get_hyper_params("mobilenet_v2")
+    anchors = jnp.asarray(generate_anchors(cfg))
+    rng = np.random.RandomState(2)
+    deltas = jnp.asarray(rng.normal(0, 0.6, (2, cfg.total_anchors, 4)),
+                         jnp.float32)
+    ref = np.asarray(box_ops.clip_boxes(
+        box_ops.decode(anchors, deltas, cfg.variances)))
+    planes = box_ops.decode_to_planes(
+        anchors, jnp.moveaxis(deltas, 2, 1), cfg.variances)
+    got = np.stack([np.asarray(p) for p in planes], axis=-1)
+    np.testing.assert_allclose(got, ref, atol=1e-5)

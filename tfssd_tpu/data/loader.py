@@ -17,10 +17,36 @@ from __future__ import annotations
 
 import itertools
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
-from typing import Dict, Iterable, Iterator, Optional
+from typing import Dict, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
+
+
+def _parallel_examples(dataset, order: Sequence[int],
+                       workers: int) -> Iterator[Dict]:
+    """Decode examples with a thread pool, preserving `order`.
+
+    The reference delegates this to tf.data's C++ threadpool; here a
+    ThreadPoolExecutor gives the same parallel JPEG decode (PIL releases
+    the GIL inside libjpeg) with a bounded 2*workers lookahead.
+    """
+    ex = ThreadPoolExecutor(max_workers=workers)
+    futures = deque()
+    it = iter(order)
+    try:
+        for i in itertools.islice(it, workers * 2):
+            futures.append(ex.submit(dataset.example, int(i)))
+        while futures:
+            out = futures.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                futures.append(ex.submit(dataset.example, int(nxt)))
+            yield out
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def pad_gt(boxes: np.ndarray, labels: np.ndarray, max_gt: int):
@@ -41,6 +67,7 @@ def batch_examples(
     repeat: bool = False,
     shuffle_seed: Optional[int] = None,
     drop_remainder: bool = True,
+    workers: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield batches {'image' (B,S,S,3) uint8, 'boxes' (B,G,4) float32,
     'labels' (B,G) int32, 'ids' list}. Short final batches are padded with
@@ -50,8 +77,12 @@ def batch_examples(
            if shuffle_seed is not None else None)
 
     def one_pass():
-        if rng is not None and hasattr(dataset, "example"):
-            order = rng.permutation(len(dataset))
+        random_access = hasattr(dataset, "example")
+        if random_access:
+            order = (rng.permutation(len(dataset)) if rng is not None
+                     else np.arange(len(dataset)))
+            if workers > 1:
+                return _parallel_examples(dataset, order, workers)
             return (dataset.example(int(i)) for i in order)
         return iter(dataset)
 

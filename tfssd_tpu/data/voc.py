@@ -105,21 +105,27 @@ class VOCDataset:
                              Image.BILINEAR)
         return np.asarray(img, np.uint8)
 
+    def example(self, index: int) -> Dict:
+        """Random access by index — enables the loader's parallel decode
+        workers (PIL releases the GIL inside libjpeg)."""
+        image_id = self.ids[index]
+        ann = parse_annotation(
+            os.path.join(self.root, "Annotations", f"{image_id}.xml"),
+            keep_difficult=True,
+        )
+        keep = (~ann["difficult"] if self.skip_difficult
+                else np.ones(len(ann["labels"]), bool))
+        return {
+            "image": self._load_image(image_id),
+            "boxes": ann["boxes"][keep],
+            "labels": ann["labels"][keep],
+            "difficult": ann["difficult"][keep],
+            "id": image_id,
+        }
+
     def __iter__(self) -> Iterator[Dict]:
-        for image_id in self.ids:
-            ann = parse_annotation(
-                os.path.join(self.root, "Annotations", f"{image_id}.xml"),
-                keep_difficult=True,
-            )
-            keep = (~ann["difficult"] if self.skip_difficult
-                    else np.ones(len(ann["labels"]), bool))
-            yield {
-                "image": self._load_image(image_id),
-                "boxes": ann["boxes"][keep],
-                "labels": ann["labels"][keep],
-                "difficult": ann["difficult"][keep],
-                "id": image_id,
-            }
+        for i in range(len(self.ids)):
+            yield self.example(i)
 
 
 def get_custom_imgs(path: str) -> List[str]:

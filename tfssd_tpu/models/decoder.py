@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from tfssd_tpu.config import SSDConfig
 from tfssd_tpu.ops import boxes as box_ops
-from tfssd_tpu.ops.nms import NMSResult, combined_nms
+from tfssd_tpu.ops.nms import (NMSResult, combined_nms,  # noqa: F401
+                               combined_nms_planes)
 
 Array = jnp.ndarray
 
@@ -28,7 +29,22 @@ def decode_predictions(
     config: SSDConfig,
 ) -> NMSResult:
     """Decode + NMS. Returned `classes` use the reference's label space
-    (1..L-1, i.e. background-shifted +1); padding rows are class 0/score 0."""
+    (1..L-1, i.e. background-shifted +1); padding rows are class 0/score 0.
+
+    Implementation notes (both measured on v5e, batch 256):
+      * Suppression is the XLA fixpoint of ops.nms — it batches every
+        (image, class) instance into each sweep and beat the per-instance
+        Pallas kernel (42.1 vs 47.7 ms; grid programs serialize on the
+        single tensor core — ops/kernels/nms_keep.py has the numbers).
+      * A lanes-last "plane form" rewrite of this whole chain
+        (combined_nms_planes), motivated by the 128-lane padding of the
+        (B, N, 4)/(B, N, L) tensors, measured 2.3x SLOWER end to end
+        (2.6k vs 6.1k img/s) — XLA already fuses the reference-layout
+        elementwise chain, and the plane form's per-plane gathers and
+        f32 IoU materialization cost more than the padding it saved. It
+        is kept in ops/nms.py as a tested alternative.
+    config.use_pallas governs the matcher, where fusion does win.
+    """
     boxes = box_ops.decode(anchors, pred_deltas, config.variances)
     boxes = box_ops.clip_boxes(boxes)
     scores = jax.nn.softmax(pred_logits, axis=-1)[..., 1:]  # drop background
@@ -39,13 +55,6 @@ def decode_predictions(
         max_total_detections=config.max_total_detections,
         iou_threshold=config.nms_iou_threshold,
         score_threshold=config.nms_score_threshold,
-        # NMS always uses the XLA fixpoint: it batches every (image,
-        # class) instance into each suppression sweep, which measured
-        # FASTER than the per-instance Pallas kernel on v5e (42.1 vs
-        # 47.7 ms at batch 256) because grid programs serialize on the
-        # single tensor core. ops/kernels/nms_keep.py remains available
-        # via combined_nms(impl="pallas"). config.use_pallas governs the
-        # matcher (ops/kernels/match_encode.py), where fusion does win.
         impl="xla",
     )
     # Shift class ids back into the reference's 1-based label space.

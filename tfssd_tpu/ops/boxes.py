@@ -195,3 +195,34 @@ def denormalize_bboxes(boxes: Array, height: float, width: float) -> Array:
     """Normalized corner boxes -> pixels (reference denormalize_bboxes)."""
     scale = jnp.asarray([height, width, height, width], dtype=boxes.dtype)
     return boxes * scale
+
+
+# ---------------------------------------------------------------------------
+# Lanes-last ("transposed") decode for the TPU inference path.
+# ---------------------------------------------------------------------------
+
+
+def decode_to_planes(anchors: Array, deltas_t: Array,
+                     variances: Tuple[float, float, float, float],
+                     clip: bool = True):
+    """Decode from lanes-last deltas: (B, 4, N) -> four (B, N) corner planes.
+
+    Same math as `decode` (+ optional clip), but every array keeps the
+    anchor axis in the TPU lane dimension. Arrays shaped (..., 4) put 4
+    channels in lanes and get padded to 128 on TPU — a 32x physical
+    blowup that made the reference-layout decode path memory-bound; the
+    plane form removes every such tensor from the inference hot path.
+    """
+    anc = to_centers(anchors)          # (N, 4) — tiny, host-computed once
+    acy, acx, ah, aw = anc[:, 0], anc[:, 1], anc[:, 2], anc[:, 3]
+    v = variances
+    cy = deltas_t[:, 0] * v[0] * ah + acy
+    cx = deltas_t[:, 1] * v[1] * aw + acx
+    h = jnp.exp(deltas_t[:, 2] * v[2]) * ah
+    w = jnp.exp(deltas_t[:, 3] * v[3]) * aw
+    y0, x0 = cy - h * 0.5, cx - w * 0.5
+    y1, x1 = cy + h * 0.5, cx + w * 0.5
+    if clip:
+        y0, x0 = jnp.clip(y0, 0.0, 1.0), jnp.clip(x0, 0.0, 1.0)
+        y1, x1 = jnp.clip(y1, 0.0, 1.0), jnp.clip(x1, 0.0, 1.0)
+    return y0, x0, y1, x1

@@ -173,3 +173,67 @@ def combined_nms(
         classes=final_classes,
         valid=jnp.sum(ok.astype(jnp.int32), axis=-1),
     )
+
+
+def _iou_from_planes(y0, x0, y1, x1):
+    """Pairwise IoU (..., K, K) from four (..., K) corner planes."""
+    iy0 = jnp.maximum(y0[..., :, None], y0[..., None, :])
+    ix0 = jnp.maximum(x0[..., :, None], x0[..., None, :])
+    iy1 = jnp.minimum(y1[..., :, None], y1[..., None, :])
+    ix1 = jnp.minimum(x1[..., :, None], x1[..., None, :])
+    inter = jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0)
+    a = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+    union = a[..., :, None] + a[..., None, :] - inter
+    return inter / jnp.maximum(union, 1e-8)
+
+
+def combined_nms_planes(
+    planes,              # (y0, x0, y1, x1), each (B, N) lanes-last
+    scores_t: Array,     # (B, C, N) per-class foreground scores
+    max_detections_per_class: int = 200,
+    max_total_detections: int = 200,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.0,
+) -> NMSResult:
+    """combined_nms in lanes-last form — identical keep semantics, no
+    (..., 4)-shaped tensor anywhere in the hot path (see decode_to_planes).
+    IoU is computed in f32 (the layout win already removed the bandwidth
+    pressure that motivated bf16 in the reference-layout path)."""
+    b, num_classes, n = scores_t.shape
+    k = min(max_detections_per_class, n)
+
+    top_scores, top_idx = jax.lax.top_k(scores_t, k)       # (B, C, K)
+    flat_idx = top_idx.reshape(b, -1)                      # (B, C*K)
+    tp = [jnp.take_along_axis(p, flat_idx, axis=1).reshape(b, num_classes, k)
+          for p in planes]                                 # 4 x (B, C, K)
+    valid = top_scores > score_threshold
+
+    ious = _iou_from_planes(*tp)                           # (B, C, K, K)
+    keep = jax.vmap(jax.vmap(
+        lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
+
+    kept_scores = jnp.where(keep, top_scores, 0.0)
+    flat_scores = kept_scores.reshape(b, -1)               # (B, C*K)
+    flat_classes = jnp.broadcast_to(
+        jnp.arange(num_classes)[:, None], (num_classes, k)).reshape(-1)
+
+    total = min(max_total_detections, num_classes * k)
+    final_scores, sel = jax.lax.top_k(flat_scores, total)
+    ok = final_scores > 0.0
+    final_scores = jnp.where(ok, final_scores, 0.0)
+    final_classes = jnp.where(ok, flat_classes[sel], -1)
+    fp = [jnp.where(ok, jnp.take_along_axis(p.reshape(b, -1), sel, axis=1),
+                    0.0) for p in tp]
+    final_boxes = jnp.stack(fp, axis=-1)                   # (B, total, 4)
+    pad = max_total_detections - total
+    if pad:
+        final_scores = jnp.pad(final_scores, ((0, 0), (0, pad)))
+        final_classes = jnp.pad(final_classes, ((0, 0), (0, pad)),
+                                constant_values=-1)
+        final_boxes = jnp.pad(final_boxes, ((0, 0), (0, pad), (0, 0)))
+    return NMSResult(
+        boxes=final_boxes,
+        scores=final_scores,
+        classes=final_classes,
+        valid=jnp.sum(ok.astype(jnp.int32), axis=-1),
+    )

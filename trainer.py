@@ -77,6 +77,8 @@ def main():
     parser.add_argument("--ckpt-every", type=int, default=1,
                         help="epochs between checkpoint saves (the final "
                              "epoch always saves)")
+    parser.add_argument("--workers", type=int, default=8,
+                        help="parallel host decode threads")
     parser.add_argument("--log-every", type=int, default=50,
                         help="steps between metric host syncs (each sync "
                              "is a device round trip)")
@@ -126,7 +128,8 @@ def main():
     for epoch in range(start_epoch, args.epochs):
         it = prefetch(batch_examples(
             train_ds, args.batch_size, cfg.max_gt_boxes,
-            shuffle_seed=args.seed * 10_000 + epoch))
+            shuffle_seed=args.seed * 10_000 + epoch,
+            workers=args.workers))
         epoch_metrics = []
         profiling = args.profile and epoch == start_epoch
         if profiling:
