@@ -2,14 +2,17 @@
 the virtual CPU mesh (SURVEY.md §4 item 6)."""
 
 import jax
+import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles_small():
     import __graft_entry__ as g
 

@@ -94,6 +94,7 @@ def test_train_step_with_pallas_matcher():
     assert _matcher(cfg2).__name__ == "match_batch"
 
 
+@pytest.mark.slow
 def test_pallas_train_step_runs_on_cpu():
     # Full jitted train step with use_pallas=True on the CPU mesh: the
     # interpret fallback must kick in automatically.

@@ -11,6 +11,7 @@ from tfssd_tpu.models import get_model, init_model, make_predict_fn
 from tfssd_tpu.ops.boxes import generate_anchors
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backbone", ["mobilenet_v2", "vgg16", "vgg16_512"])
 def test_forward_shapes(backbone):
     cfg = get_hyper_params(backbone)
@@ -36,6 +37,7 @@ def test_train_mode_updates_batch_stats():
     assert np.abs(np.asarray(leaf)).sum() > 0
 
 
+@pytest.mark.slow
 def test_predict_fn_end_to_end():
     cfg = get_hyper_params("mobilenet_v2")
     model = get_model(cfg)
@@ -53,6 +55,7 @@ def test_predict_fn_end_to_end():
     assert cls.min() >= 0 and cls.max() < cfg.total_labels
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_path():
     cfg = get_hyper_params("mobilenet_v2", compute_dtype="bfloat16")
     model = get_model(cfg)
@@ -66,6 +69,7 @@ def test_bfloat16_compute_path():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     # remat must change memory behavior only: same outputs, same grads,
     # same param tree names (checkpoint compatibility).

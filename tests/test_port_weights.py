@@ -31,6 +31,7 @@ def _tf_cpu():
     yield
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_trunk_parity():
     keras_model = tf.keras.applications.MobileNetV2(
         input_shape=(300, 300, 3), include_top=False, weights=None)
@@ -61,6 +62,7 @@ def test_mobilenet_v2_trunk_parity():
     np.testing.assert_allclose(got2, tap2, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_vgg16_trunk_parity():
     keras_model = tf.keras.applications.VGG16(
         input_shape=(300, 300, 3), include_top=False, weights=None)

@@ -62,6 +62,7 @@ def test_get_step_size():
     assert get_step_size(96, 32) == 3
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_and_updates_state():
     _, _, _, _, state, step, batch = _tiny_setup()
     jstep = jax.jit(step)
@@ -83,6 +84,7 @@ def test_train_step_decreases_loss_and_updates_state():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_overfit_tiny_synthetic():
     # SURVEY.md §4 item 5: overfitting a few images approaches ~0 loss.
     _, _, _, _, state, step, batch = _tiny_setup()
@@ -94,6 +96,7 @@ def test_overfit_tiny_synthetic():
     assert float(m["loss"]) < 0.6, float(m["loss"])
 
 
+@pytest.mark.slow
 def test_augmented_step_runs():
     _, _, _, _, state, step, batch = _tiny_setup(augment=True)
     s, m = jax.jit(step)(state, batch, jax.random.key(2))
@@ -107,6 +110,7 @@ def test_eval_step():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_parity():
     # Same batch: 1-device step vs 8-way sharded step must agree closely
     # (SURVEY.md §4 item 6).
@@ -128,6 +132,7 @@ def test_data_parallel_parity():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from tfssd_tpu.utils.checkpoint import CheckpointManager
 
@@ -144,6 +149,7 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_checkpoint_weights_restore_across_optimizers(tmp_path):
     # predictor.py restores with a *different* optimizer than the trainer
     # used (constant lr vs schedule): weights-only restore must still work.

@@ -17,7 +17,7 @@ device work (forward + decode + NMS) is already done by
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

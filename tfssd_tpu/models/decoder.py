@@ -9,8 +9,6 @@ jit instead of a wrapper Keras model.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

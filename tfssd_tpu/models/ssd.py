@@ -9,7 +9,7 @@ and shards with no Python in the hot path.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

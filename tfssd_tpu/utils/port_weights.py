@@ -21,7 +21,7 @@ the Keras feature maps at the SSD tap points.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tfssd_tpu import get_hyper_params
@@ -35,7 +34,7 @@ from tfssd_tpu.train import (
 )
 from tfssd_tpu.utils.checkpoint import CheckpointManager
 from tfssd_tpu.utils.io import get_log_path, get_model_path, handle_args
-from tfssd_tpu.utils.metrics import MetricsLogger, StepTimer
+from tfssd_tpu.utils.metrics import MetricsLogger
 
 
 def make_datasets(args, img_size: int):
