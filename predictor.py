@@ -62,13 +62,19 @@ def main():
     cfg = get_hyper_params(args.backbone)
     # Fail fast on a missing checkpoint BEFORE paying the model build/compile.
     ckpt, step = None, None
-    if not args.random_weights and not args.port_h5:
+    if not args.random_weights:
         ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
         step = ckpt.best_step() or ckpt.latest_step()
         if step is None:
-            raise SystemExit(
-                f"no checkpoint for {args.backbone} under {args.model_dir}; "
-                f"train first or pass --random-weights")
+            ckpt.close()
+            ckpt = None
+            # --port-h5 can run without a checkpoint (trunk-only weights);
+            # otherwise a missing checkpoint is fatal, BEFORE model build.
+            if not args.port_h5:
+                raise SystemExit(
+                    f"no checkpoint for {args.backbone} under "
+                    f"{args.model_dir}; train first or pass "
+                    f"--random-weights")
     model = get_model(cfg)
     anchors = generate_anchors(cfg)
     state = create_train_state(model, jax.random.key(0), make_optimizer(1e-3))
@@ -117,7 +123,7 @@ def main():
             gts.append({
                 "boxes": batch["boxes"][i],
                 "labels": batch["labels"][i],
-                "difficult": np.zeros(batch["labels"][i].shape, bool),
+                "difficult": batch["difficult"][i],
             })
             if drawn < args.draw:
                 img = draw_predictions(

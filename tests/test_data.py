@@ -76,7 +76,7 @@ def test_parse_annotation_roundtrip():
         f.write(xml)
         path = f.name
     try:
-        ann = parse_annotation(path)
+        ann = parse_annotation(path, keep_difficult=True)
     finally:
         os.unlink(path)
     assert ann["width"] == 200 and ann["height"] == 100
@@ -157,3 +157,44 @@ def test_parallel_workers_with_shuffle():
     b = list(batch_examples(ds, 4, 8, shuffle_seed=3, workers=1))
     for x, y in zip(a, b):
         assert x["ids"] == y["ids"]  # same permutation regardless of workers
+
+
+def test_collate_propagates_difficult():
+    ds = SyntheticDataset(num_examples=4, image_size=64)
+    ex = ds.example(0)
+    ex["difficult"] = np.ones(len(ex["labels"]), bool)
+    # monkeypatch example 0 via a tiny wrapper dataset
+    class DS:
+        def __len__(self): return 4
+        def example(self, i):
+            return ex if i == 0 else ds.example(i)
+        def __iter__(self):
+            return (self.example(i) for i in range(4))
+    b = next(batch_examples(DS(), 4, 8))
+    assert b["difficult"].shape == (4, 8)
+    g = len(ex["labels"])
+    assert b["difficult"][0, :g].all()
+    assert not b["difficult"][1:].any()
+
+
+def test_parse_annotation_default_excludes_difficult():
+    xml = """<annotation>
+      <filename>x.jpg</filename>
+      <size><width>100</width><height>100</height></size>
+      <object><name>dog</name><difficult>1</difficult>
+        <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>50</xmax><ymax>50</ymax></bndbox>
+      </object>
+      <object><name>cat</name><difficult>0</difficult>
+        <bndbox><xmin>51</xmin><ymin>51</ymin><xmax>99</xmax><ymax>99</ymax></bndbox>
+      </object>
+    </annotation>"""
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(xml)
+        path = f.name
+    try:
+        default = parse_annotation(path)              # excludes difficult
+        kept = parse_annotation(path, keep_difficult=True)
+    finally:
+        os.unlink(path)
+    assert list(default["labels"]) == [8]             # cat only
+    assert list(kept["labels"]) == [12, 8]

@@ -105,3 +105,26 @@ def test_match_batch_shapes():
     deltas, labels = matching.match_batch(anchors, gt_boxes, gt_labels, cfg)
     assert deltas.shape == (4, cfg.total_anchors, 4)
     assert labels.shape == (4, cfg.total_anchors, cfg.total_labels)
+
+
+def test_force_match_deterministic_with_padded_gts():
+    # Padded gt rows all argmax to anchor 0 on an all-zero IoU column; the
+    # forced-positive scatter must not let them clobber a real gt that
+    # also claims anchor 0 (regression: duplicate-index .at[].set race).
+    cfg = get_hyper_params("mobilenet_v2", max_gt_boxes=8,
+                           force_match_for_gt=True)
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    # One tiny gt whose best anchor is anchor 0 (the first 19x19 cell
+    # anchor sits at the top-left corner).
+    gt = jnp.zeros((1, 8, 4)).at[0, 0].set(anchors[0] * 0.6 + 0.02)
+    labels = jnp.zeros((1, 8), jnp.int32).at[0, 0].set(3)
+    deltas, onehot = matching.match_batch(anchors, gt, labels, cfg)
+    best_anchor = int(jnp.argmax(
+        box_ops.iou_matrix(anchors, gt[0])[:, 0]))
+    # the real gt's best anchor must be positive with its class
+    assert float(onehot[0, best_anchor, 3]) == 1.0
+    # padded gts must not create positives anywhere
+    assert float(jnp.sum(onehot[0, :, 1:])) >= 1.0
+    pos_anchors = jnp.sum(onehot[0, :, 1:], axis=-1) > 0.5
+    # every positive anchor's matched class is 3 (the only real gt)
+    assert float(jnp.sum(onehot[0, :, 3])) == float(jnp.sum(pos_anchors))

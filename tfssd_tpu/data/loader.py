@@ -105,13 +105,18 @@ def _collate(examples, max_gt: int, pad_to: Optional[int] = None):
     images = np.zeros((total, s, s, 3), examples[0]["image"].dtype)
     boxes = np.zeros((total, max_gt, 4), np.float32)
     labels = np.zeros((total, max_gt), np.int32)
+    difficult = np.zeros((total, max_gt), bool)
     ids = []
     for i, ex in enumerate(examples):
         images[i] = ex["image"]
         boxes[i], labels[i] = pad_gt(ex["boxes"], ex["labels"], max_gt)
+        d = np.asarray(ex.get("difficult",
+                              np.zeros(len(ex["labels"]), bool)))
+        g = min(len(d), max_gt)
+        difficult[i, :g] = d[:g]
         ids.append(ex.get("id", str(i)))
-    return {"image": images, "boxes": boxes, "labels": labels, "ids": ids,
-            "num_valid": n}
+    return {"image": images, "boxes": boxes, "labels": labels,
+            "difficult": difficult, "ids": ids, "num_valid": n}
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:

@@ -51,8 +51,9 @@ def parse_annotation(xml_path: str, keep_difficult: bool = False) -> Dict:
         diff_node = obj.find("difficult")
         is_diff = diff_node is not None and diff_node.text.strip() == "1"
         if is_diff and not keep_difficult:
-            # kept out of training; eval keeps them (flag) to ignore-match
-            pass
+            # excluded entirely (training); eval passes keep_difficult=True
+            # and ignore-matches them instead
+            continue
         bb = obj.find("bndbox")
         # VOC pixel coords are 1-based inclusive.
         xmin = (float(bb.find("xmin").text) - 1.0) / width

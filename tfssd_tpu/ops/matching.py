@@ -51,15 +51,19 @@ def match_single(
     positive = best_iou > config.iou_threshold
 
     if config.force_match_for_gt:
-        # Paper's bipartite step: anchor argmax per gt forced positive.
+        # Paper's bipartite step: each valid gt's argmax anchor is forced
+        # positive. Padded gts share best_anchor==argmax(all-zero column)
+        # with real gts, so plain .at[].set scatters would race on
+        # duplicate indices (unspecified winner). Use commutative
+        # reductions instead: OR (max) for the forced mask, MIN over
+        # claiming gt indices for a deterministic tie-break.
+        g = gt_boxes.shape[0]
         best_anchor = jnp.argmax(iou, axis=0)  # (G,)
-        forced = jnp.zeros_like(positive).at[best_anchor].set(gt_valid)
+        forced = jnp.zeros_like(positive).at[best_anchor].max(gt_valid)
         positive = positive | forced
-        # Forced anchors must point at the gt that claimed them (argmax over
-        # gt could disagree on ties); scatter the gt index in.
-        best_gt = best_gt.at[best_anchor].set(
-            jnp.where(gt_valid, jnp.arange(gt_boxes.shape[0]), best_gt[best_anchor])
-        )
+        claiming = jnp.where(gt_valid, jnp.arange(g), g)
+        claimed_gt = jnp.full_like(best_gt, g).at[best_anchor].min(claiming)
+        best_gt = jnp.where(claimed_gt < g, claimed_gt, best_gt)
 
     matched_boxes = gt_boxes[best_gt]     # (N, 4)
     deltas = box_ops.encode(anchors, matched_boxes, config.variances)

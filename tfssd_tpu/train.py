@@ -34,8 +34,20 @@ from tfssd_tpu.ops.matching import match_batch as _match_batch_jnp
 
 def _matcher(cfg: SSDConfig):
     """Select the GT matcher: Pallas fused kernel (config.use_pallas) or
-    the jnp reference (ops.matching.match_batch)."""
+    the jnp reference (ops.matching.match_batch).
+
+    The Pallas kernel implements threshold-only matching (the reference's
+    behaviour); the paper's optional force-match step only exists in the
+    jnp path, so that combination falls back with a warning rather than
+    silently dropping the bipartite step."""
     if cfg.use_pallas:
+        if cfg.force_match_for_gt:
+            import warnings
+
+            warnings.warn(
+                "force_match_for_gt is not implemented in the Pallas "
+                "matcher; using the jnp matcher instead", stacklevel=2)
+            return _match_batch_jnp
         from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas
         return match_batch_pallas
     return _match_batch_jnp

@@ -93,6 +93,11 @@ def main():
           f"anchors={cfg.total_anchors} devices={jax.device_count()}")
 
     train_ds, val_ds = make_datasets(args, cfg.img_size)
+    if len(train_ds) < args.batch_size:
+        raise SystemExit(
+            f"training dataset ({len(train_ds)} examples) is smaller than "
+            f"--batch-size {args.batch_size}; full batches are required "
+            f"(static shapes) — lower the batch size")
     steps_per_epoch = args.steps_per_epoch or get_step_size(
         len(train_ds), args.batch_size)
 
@@ -163,9 +168,12 @@ def main():
             trace_cm.__exit__(None, None, None)
             print(f"profiler trace written to {log_path}")
 
-        # validation (keep partial batches: a val set smaller than the
-        # batch size must still produce a val_loss, not inf)
-        val_losses = []
+        # validation. Partial batches are kept (a val set smaller than the
+        # batch must still yield a loss) and the mean is weighted by the
+        # number of REAL images per batch: padded rows contribute exactly
+        # zero loss, so an unweighted mean would dilute the final partial
+        # batch and bias best-checkpoint selection.
+        val_total, val_count = 0.0, 0
         for batch in batch_examples(val_ds, args.batch_size,
                                     cfg.max_gt_boxes,
                                     drop_remainder=False):
@@ -174,8 +182,10 @@ def main():
                 "boxes": batch["boxes"],
                 "labels": batch["labels"],
             })
-            val_losses.append(float(eval_step(state, device_batch)["loss"]))
-        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+            batch_mean = float(eval_step(state, device_batch)["loss"])
+            val_total += batch_mean * args.batch_size  # sum over real rows
+            val_count += batch["num_valid"]
+        val_loss = val_total / val_count if val_count else float("inf")
         tr = float(np.mean([m["loss"] for m in epoch_metrics]))
         print(f"epoch {epoch}: train_loss={tr:.4f} val_loss={val_loss:.4f} "
               f"lr={float(schedule(int(state.step))):.2e}")
