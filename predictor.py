@@ -30,6 +30,7 @@ from tfssd_tpu.data import (
 from tfssd_tpu.evaluate import detections_from_nms_result, evaluate_predictions
 from tfssd_tpu.models import get_model, make_predict_fn
 from tfssd_tpu.ops.boxes import generate_anchors
+from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
 from tfssd_tpu.train import create_train_state, make_optimizer, preprocess_images
 from tfssd_tpu.utils.checkpoint import CheckpointManager
 from tfssd_tpu.utils.drawing import draw_predictions
@@ -85,6 +86,15 @@ def main():
 
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Data-parallel inference over every visible chip: replicate weights,
+    # shard each batch over the mesh (BASELINE.md config #5's v5e-8
+    # streaming shape; a 1-chip mesh makes this a no-op). Falls back to
+    # one device when the batch doesn't divide the chip count.
+    devices = jax.devices()
+    if args.batch_size % len(devices):
+        devices = devices[:1]
+    mesh = get_mesh(devices)
+    variables = replicate(mesh, variables)
     if args.port_h5:
         from tfssd_tpu.utils.port_weights import (
             graft, load_keras_h5, port_mobilenet_v2, port_vgg16)
@@ -113,7 +123,8 @@ def main():
             dataset, args.batch_size, cfg.max_gt_boxes,
             drop_remainder=False,
             workers=args.workers if not args.image_dir else 1)):
-        images = preprocess_images(jax.numpy.asarray(batch["image"]))
+        images = preprocess_images(
+            shard_batch(mesh, jax.numpy.asarray(batch["image"])))
         res = predict(variables, images)
         jax.block_until_ready(res.scores)
         timer.tick()
