@@ -28,10 +28,10 @@ from tfssd_tpu.data import (
     prefetch,
 )
 from tfssd_tpu.evaluate import detections_from_nms_result, evaluate_predictions
-from tfssd_tpu.models import get_model, make_predict_fn
+from tfssd_tpu.models import get_model, init_model, make_predict_fn
 from tfssd_tpu.ops.boxes import generate_anchors
 from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
-from tfssd_tpu.train import create_train_state, make_optimizer, preprocess_images
+from tfssd_tpu.train import TrainState, preprocess_images
 from tfssd_tpu.utils.checkpoint import CheckpointManager
 from tfssd_tpu.utils.drawing import draw_predictions
 from tfssd_tpu.utils.io import get_model_path, handle_args
@@ -65,7 +65,9 @@ def main():
     ckpt, step = None, None
     if not args.random_weights:
         ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
-        step = ckpt.best_step() or ckpt.latest_step()
+        step = ckpt.best_step()
+        if step is None:  # explicit None check: step 0 is a valid best
+            step = ckpt.latest_step()
         if step is None:
             ckpt.close()
             ckpt = None
@@ -78,7 +80,12 @@ def main():
                     f"--random-weights")
     model = get_model(cfg)
     anchors = generate_anchors(cfg)
-    state = create_train_state(model, jax.random.key(0), make_optimizer(1e-3))
+    # Weights-only template: inference never needs optimizer moments
+    # (create_train_state would allocate 2x param memory for Adam state).
+    init_vars = init_model(model, jax.random.key(0))
+    state = TrainState(step=0, params=init_vars["params"],
+                       batch_stats=init_vars.get("batch_stats", {}),
+                       opt_state=None)
     if ckpt is not None:
         state = ckpt.restore_weights(state, step)
         print(f"loaded checkpoint step {step}")

@@ -198,3 +198,32 @@ def test_parse_annotation_default_excludes_difficult():
         os.unlink(path)
     assert list(default["labels"]) == [8]             # cat only
     assert list(kept["labels"]) == [12, 8]
+
+
+def test_prefetch_propagates_exceptions():
+    def bad_iter():
+        yield 1
+        raise RuntimeError("corrupt example")
+    it = prefetch(bad_iter(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="corrupt example"):
+        list(it)
+
+
+def test_prefetch_early_exit_stops_producer():
+    import threading as _threading
+    produced = []
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+    before = _threading.active_count()
+    it = prefetch(gen(), depth=2)
+    for _ in range(3):
+        next(it)
+    it.close()  # consumer stops early
+    import time as _time
+    _time.sleep(0.3)
+    assert _threading.active_count() <= before + 1
+    assert len(produced) < 100  # producer did not run to completion

@@ -121,21 +121,47 @@ def _collate(examples, max_gt: int, pad_to: Optional[int] = None):
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch so host batching overlaps device steps
-    (the tf.data threadpool's job in the reference)."""
+    (the tf.data threadpool's job in the reference).
+
+    Exceptions raised by the wrapped iterator propagate to the consumer
+    (a corrupt input must fail the run, not silently truncate the
+    epoch), and an early-exiting consumer (break / --limit) unblocks and
+    stops the producer instead of leaking it.
+    """
     q: Queue = Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
-        finally:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except Exception:  # queue.Full
+                        continue
+                if stop.is_set():
+                    return
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked producer can observe the stop event
+        try:
+            while True:
+                q.get_nowait()
+        except Exception:
+            pass

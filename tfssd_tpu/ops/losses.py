@@ -16,7 +16,9 @@ TPU-first deviations (same math, better numerics/fusion):
     descending sort over the anchor axis (O(N log N) on the VPU) instead
     of a per-image dynamic top_k: rank(loss) < 3 * #pos. This is exactly
     the reference's selection set with static shapes, which is what jit
-    wants. A Pallas fused variant lives in ops/kernels/hardneg.py.
+    wants. (No Pallas variant: the double argsort is XLA's own sort,
+    already competitive — see ops/kernels/ for the ops that did earn
+    kernels.)
 """
 
 from __future__ import annotations

@@ -99,6 +99,37 @@ def _greedy_keep(ious: Array, valid: Array, iou_threshold: float) -> Array:
     return keep
 
 
+def _merge_detections(kept_scores, gather_boxes, num_classes: int, k: int,
+                      max_total_detections: int) -> NMSResult:
+    """Global cross-class merge: flatten per-class survivors, take the
+    top max_total by score, mask/pad the padding rows. `kept_scores` is
+    (B, C, K) with suppressed rows zeroed; `gather_boxes(sel)` returns
+    the (B, total, 4) boxes for flat selection indices `sel`."""
+    b = kept_scores.shape[0]
+    flat_scores = kept_scores.reshape(b, -1)            # (B, C*K)
+    flat_classes = jnp.broadcast_to(
+        jnp.arange(num_classes)[:, None], (num_classes, k)).reshape(-1)
+
+    total = min(max_total_detections, num_classes * k)
+    final_scores, sel = jax.lax.top_k(flat_scores, total)
+    ok = final_scores > 0.0
+    final_scores = jnp.where(ok, final_scores, 0.0)
+    final_classes = jnp.where(ok, flat_classes[sel], -1)
+    final_boxes = jnp.where(ok[..., None], gather_boxes(sel), 0.0)
+    pad = max_total_detections - total
+    if pad:
+        final_scores = jnp.pad(final_scores, ((0, 0), (0, pad)))
+        final_classes = jnp.pad(final_classes, ((0, 0), (0, pad)),
+                                constant_values=-1)
+        final_boxes = jnp.pad(final_boxes, ((0, 0), (0, pad), (0, 0)))
+    return NMSResult(
+        boxes=final_boxes,
+        scores=final_scores,
+        classes=final_classes,
+        valid=jnp.sum(ok.astype(jnp.int32), axis=-1),
+    )
+
+
 def combined_nms(
     boxes: Array,        # (B, N, 4) decoded normalized corners
     scores: Array,       # (B, N, C) per-class foreground scores (no bg col)
@@ -137,42 +168,21 @@ def combined_nms(
             iou_threshold, score_threshold,
         ).reshape(b, num_classes, k)
     else:
-        # Pairwise IoU per (image, class): (B, C, K, K). bf16 candidates:
-        # the IoU only feeds a >threshold compare, and halving the
-        # broadcast traffic matters more than the 3 digits bf16 keeps.
-        top_boxes_c = top_boxes.astype(jnp.bfloat16)
-        ious = box_ops.iou_matrix(top_boxes_c, top_boxes_c)
+        # Pairwise IoU per (image, class): (B, C, K, K), in f32. A bf16
+        # variant was ~2 ms faster at batch 256 but bf16's ~0.004
+        # absolute resolution near coordinate 1.0 corrupts IoU for small
+        # boxes by tens of percent (a 0.02-wide box gets corner rounding
+        # of up to 20% of its width) — wrong suppression flips, so
+        # exactness wins.
+        ious = box_ops.iou_matrix(top_boxes, top_boxes)
         keep = jax.vmap(jax.vmap(
             lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
 
-    kept_scores = jnp.where(keep, top_scores, 0.0)
-
-    # Merge classes: global top max_total by score.
-    flat_scores = kept_scores.reshape(b, -1)            # (B, C*K)
-    flat_boxes = top_boxes.reshape(b, -1, 4)
-    flat_classes = jnp.broadcast_to(
-        jnp.arange(num_classes)[:, None], (num_classes, k)).reshape(-1)
-
-    total = min(max_total_detections, num_classes * k)
-    final_scores, sel = jax.lax.top_k(flat_scores, total)
-    ok = final_scores > 0.0
-    final_scores = jnp.where(ok, final_scores, 0.0)
-    final_classes = jnp.where(ok, flat_classes[sel], -1)
-    final_boxes = jnp.where(
-        ok[..., None], jnp.take_along_axis(flat_boxes, sel[..., None],
-                                           axis=1), 0.0)
-    pad = max_total_detections - total
-    if pad:
-        final_scores = jnp.pad(final_scores, ((0, 0), (0, pad)))
-        final_classes = jnp.pad(final_classes, ((0, 0), (0, pad)),
-                                constant_values=-1)
-        final_boxes = jnp.pad(final_boxes, ((0, 0), (0, pad), (0, 0)))
-    return NMSResult(
-        boxes=final_boxes,
-        scores=final_scores,
-        classes=final_classes,
-        valid=jnp.sum(ok.astype(jnp.int32), axis=-1),
-    )
+    return _merge_detections(
+        jnp.where(keep, top_scores, 0.0),
+        lambda sel: jnp.take_along_axis(
+            top_boxes.reshape(b, -1, 4), sel[..., None], axis=1),
+        num_classes, k, max_total_detections)
 
 
 def _iou_from_planes(y0, x0, y1, x1):
@@ -212,28 +222,9 @@ def combined_nms_planes(
     keep = jax.vmap(jax.vmap(
         lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
 
-    kept_scores = jnp.where(keep, top_scores, 0.0)
-    flat_scores = kept_scores.reshape(b, -1)               # (B, C*K)
-    flat_classes = jnp.broadcast_to(
-        jnp.arange(num_classes)[:, None], (num_classes, k)).reshape(-1)
-
-    total = min(max_total_detections, num_classes * k)
-    final_scores, sel = jax.lax.top_k(flat_scores, total)
-    ok = final_scores > 0.0
-    final_scores = jnp.where(ok, final_scores, 0.0)
-    final_classes = jnp.where(ok, flat_classes[sel], -1)
-    fp = [jnp.where(ok, jnp.take_along_axis(p.reshape(b, -1), sel, axis=1),
-                    0.0) for p in tp]
-    final_boxes = jnp.stack(fp, axis=-1)                   # (B, total, 4)
-    pad = max_total_detections - total
-    if pad:
-        final_scores = jnp.pad(final_scores, ((0, 0), (0, pad)))
-        final_classes = jnp.pad(final_classes, ((0, 0), (0, pad)),
-                                constant_values=-1)
-        final_boxes = jnp.pad(final_boxes, ((0, 0), (0, pad), (0, 0)))
-    return NMSResult(
-        boxes=final_boxes,
-        scores=final_scores,
-        classes=final_classes,
-        valid=jnp.sum(ok.astype(jnp.int32), axis=-1),
-    )
+    return _merge_detections(
+        jnp.where(keep, top_scores, 0.0),
+        lambda sel: jnp.stack(
+            [jnp.take_along_axis(p.reshape(b, -1), sel, axis=1)
+             for p in tp], axis=-1),
+        num_classes, k, max_total_detections)

@@ -98,8 +98,10 @@ def main():
             f"training dataset ({len(train_ds)} examples) is smaller than "
             f"--batch-size {args.batch_size}; full batches are required "
             f"(static shapes) — lower the batch size")
-    steps_per_epoch = args.steps_per_epoch or get_step_size(
-        len(train_ds), args.batch_size)
+    # floor, matching the loader's drop_remainder: ceil would overcount
+    # steps, drifting resume-epoch math and the LR boundary epochs.
+    steps_per_epoch = args.steps_per_epoch or max(
+        len(train_ds) // args.batch_size, 1)
 
     model = get_model(cfg)
     anchors = generate_anchors(cfg)
