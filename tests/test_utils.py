@@ -84,3 +84,26 @@ def test_metrics_logger_tensorboard_mirror(tmp_path):
         assert glob.glob(str(tmp_path / "events.out.tfevents.*"))
     except ImportError:
         pass
+
+
+def test_profiling_surface(tmp_path):
+    import jax
+    from tfssd_tpu.utils.profiling import (
+        device_memory_stats, enable_debug_nans, step_annotation, trace)
+
+    with trace(str(tmp_path / "prof")):
+        with step_annotation("step", 0):
+            jax.block_until_ready(jax.numpy.ones(8) * 2)
+    import glob
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
+
+    enable_debug_nans(True)
+    try:
+        import pytest as _pytest
+        with _pytest.raises(FloatingPointError):
+            jax.block_until_ready(jax.numpy.log(-jax.numpy.ones(4)))
+    finally:
+        enable_debug_nans(False)
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)

@@ -119,14 +119,15 @@ _AR_6 = (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0)  # -> 6 boxes/cell
 
 # Reference: utils/train_utils.py:SSD  (per-backbone static hyperparams).
 _BACKBONE_CONFIGS = {
-    # SSD300-VGG16: 8732 anchors (paper-canonical).
+    # SSD300-VGG16: 8732 anchors. Scales are the SSD paper's canonical
+    # schedule: conv4_3 pinned to 0.1, then s_k linear in [0.2, 0.9] over
+    # the remaining five maps (arXiv:1512.02325 sec 2.2 / sec 3.1).
     "vgg16": SSDConfig(
         backbone="vgg16",
         img_size=300,
         feature_map_shapes=(38, 19, 10, 5, 3, 1),
         aspect_ratios=(_AR_4, _AR_6, _AR_6, _AR_6, _AR_4, _AR_4),
-        scale_min=0.1,  # conv4_3 gets the small-object scale
-        scale_max=0.9,
+        scales=(0.1, 0.2, 0.375, 0.55, 0.725, 0.9, 1.0),
     ),
     # SSD300-MobileNetV2: taps at stride 16/32 + 4 extra maps -> 2268 anchors.
     "mobilenet_v2": SSDConfig(

@@ -28,6 +28,11 @@ def handle_args(description: str = "tfssd_tpu") -> argparse.ArgumentParser:
     p.add_argument("--backbone", default="mobilenet_v2",
                    choices=VALID_BACKBONES,
                    help="which SSD backbone to use")
+    p.add_argument("-handle-gpu", "--handle-gpu", action="store_true",
+                   help="accepted for reference-CLI compatibility "
+                        "(io_utils.handle_gpu_compatibility enabled GPU "
+                        "memory growth in TF; no TPU equivalent is "
+                        "needed -- platform selection is JAX_PLATFORMS)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--data-root", default=None,
                    help="VOCdevkit/VOC2007-style directory; omit for the "
