@@ -103,21 +103,28 @@ def main():
     mesh = get_mesh(devices)
     variables = replicate(mesh, variables)
     if args.port_h5:
-        from tfssd_tpu.utils.port_weights import (
-            graft, load_keras_h5, port_mobilenet_v2, port_vgg16)
+        from tfssd_tpu.utils.port_weights import port_h5_into_variables
 
-        weights = load_keras_h5(args.port_h5)
-        porter = (port_mobilenet_v2 if cfg.backbone == "mobilenet_v2"
-                  else port_vgg16)
-        variables = graft(variables, porter(weights))
+        variables = port_h5_into_variables(
+            variables, cfg.backbone, args.port_h5)
         print(f"ported trunk weights from {args.port_h5}")
 
     if args.image_dir:
         dataset = list(custom_image_generator(
             get_custom_imgs(args.image_dir), cfg.img_size))
     elif args.dataset == "voc" and args.data_root:
-        dataset = VOCDataset(args.data_root, args.split,
-                             image_size=cfg.img_size, skip_difficult=False)
+        # --data-root is repeatable (ROOT[:SPLIT]); eval normally uses one
+        # root (VOC07 test), but concatenation works here too.
+        from tfssd_tpu.data import ConcatDataset
+        from tfssd_tpu.utils.io import parse_data_root
+
+        parts = [
+            VOCDataset(root, split, image_size=cfg.img_size,
+                       skip_difficult=False)
+            for root, split in (parse_data_root(s, args.split)
+                                for s in args.data_root)
+        ]
+        dataset = parts[0] if len(parts) == 1 else ConcatDataset(parts)
     else:
         dataset = SyntheticDataset(128, image_size=cfg.img_size, seed=10_000)
 

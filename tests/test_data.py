@@ -211,6 +211,113 @@ def test_prefetch_propagates_exceptions():
         list(it)
 
 
+def _write_fake_voc(root, image_ids, split="trainval", size=32):
+    """Minimal VOCdevkit tree: JPEGImages/ + Annotations/ + ImageSets/Main."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
+    for i, image_id in enumerate(image_ids):
+        Image.new("RGB", (size, size), (i * 20 % 255, 0, 0)).save(
+            os.path.join(root, "JPEGImages", f"{image_id}.jpg"))
+        with open(os.path.join(root, "Annotations",
+                               f"{image_id}.xml"), "w") as f:
+            f.write(f"""<annotation>
+  <filename>{image_id}.jpg</filename>
+  <size><width>{size}</width><height>{size}</height><depth>3</depth></size>
+  <object><name>cat</name><difficult>0</difficult>
+    <bndbox><xmin>2</xmin><ymin>2</ymin><xmax>20</xmax><ymax>20</ymax></bndbox>
+  </object>
+</annotation>""")
+    with open(os.path.join(root, "ImageSets", "Main", f"{split}.txt"),
+              "w") as f:
+        f.write("\n".join(image_ids) + "\n")
+
+
+def test_concat_dataset_composes_voc_roots():
+    """VOC07+12 composition (reference trainer.py loads voc/2007
+    train+validation + voc/2012 trainval concatenated)."""
+    from tfssd_tpu.data import ConcatDataset, VOCDataset
+
+    with tempfile.TemporaryDirectory() as tmp:
+        r07 = os.path.join(tmp, "VOC2007")
+        r12 = os.path.join(tmp, "VOC2012")
+        _write_fake_voc(r07, ["000001", "000002", "000003"])
+        _write_fake_voc(r12, ["2012_001", "2012_002"])
+        d07 = VOCDataset(r07, "trainval", image_size=32)
+        d12 = VOCDataset(r12, "trainval", image_size=32)
+        ds = ConcatDataset([d07, d12])
+        assert len(ds) == 5
+        # dispatch across the child boundary
+        assert ds.example(2)["id"] == "000003"
+        assert ds.example(3)["id"] == "2012_001"
+        assert ds.example(4)["id"] == "2012_002"
+        ids = [ex["id"] for ex in ds]
+        assert ids == ["000001", "000002", "000003", "2012_001", "2012_002"]
+        # the batched loader shuffles across the union
+        batch = next(batch_examples(ds, batch_size=5, max_gt=4,
+                                    shuffle_seed=0))
+        assert sorted(batch["ids"]) == sorted(ids)
+
+
+def test_parse_data_root_specs():
+    from tfssd_tpu.utils.io import parse_data_root
+
+    assert parse_data_root("/data/VOC2007", "trainval") == (
+        "/data/VOC2007", "trainval")
+    assert parse_data_root("/data/VOC2012:train", "trainval") == (
+        "/data/VOC2012", "train")
+    # a path-looking suffix is not a split
+    assert parse_data_root("rel/path", "val") == ("rel/path", "val")
+
+
+def test_trainer_make_datasets_concatenates():
+    import argparse
+
+    from trainer import make_datasets
+
+    with tempfile.TemporaryDirectory() as tmp:
+        r07 = os.path.join(tmp, "VOC2007")
+        r12 = os.path.join(tmp, "VOC2012")
+        _write_fake_voc(r07, ["a1", "a2"], split="trainval")
+        _write_fake_voc(r07, ["a3"], split="val")
+        _write_fake_voc(r12, ["b1", "b2", "b3"], split="trainval")
+        args = argparse.Namespace(
+            dataset="voc", data_root=[r07, f"{r12}:trainval"],
+            train_split="trainval", val_split="val", synthetic_size=8)
+        train, val = make_datasets(args, img_size=32)
+        assert len(train) == 5           # 2 (VOC07) + 3 (VOC12)
+        assert len(val) == 1             # val comes from the first root
+        assert val.example(0)["id"] == "a3"
+
+
+def test_prefetch_sentinel_put_unblocks_after_consumer_exit():
+    """The final sentinel/exception put must not hang a producer whose
+    consumer exited between the last drain and iterator exhaustion (the
+    consumer's finally-drain runs exactly once)."""
+    import threading as _threading
+    import time as _time
+
+    release = _threading.Event()
+
+    def gen():
+        yield 0
+        yield 1
+        yield 2
+        release.wait(timeout=5)  # keep producer alive past consumer exit
+
+    it = prefetch(gen(), depth=1)
+    assert next(it) == 0
+    it.close()            # consumer exits; finally-drain runs once
+    release.set()         # producer now tries its sentinel put
+    deadline = _time.time() + 3
+    while _threading.active_count() > 1 and _time.time() < deadline:
+        _time.sleep(0.05)
+    # stop event lets the timed put give up instead of blocking forever
+    assert _threading.active_count() <= 2
+
+
 def test_prefetch_early_exit_stops_producer():
     import threading as _threading
     produced = []

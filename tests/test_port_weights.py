@@ -63,6 +63,64 @@ def test_mobilenet_v2_trunk_parity():
 
 
 @pytest.mark.slow
+def test_port_h5_then_train_step():
+    """trainer.py --port-h5 path: graft a random Keras MBv2 trunk from an
+    h5 file into a fresh train state and run ONE train step — no shape
+    errors, finite loss (reference parity: fine-tuning from
+    keras.applications ImageNet trunks, SURVEY.md §7 hard parts)."""
+    import os
+    import tempfile
+
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.data import SyntheticDataset, batch_examples
+    from tfssd_tpu.models import get_model
+    from tfssd_tpu.ops.boxes import generate_anchors
+    from tfssd_tpu.train import (
+        create_train_state, make_optimizer, make_train_step)
+    from tfssd_tpu.utils.port_weights import port_h5_into_variables
+
+    keras_model = tf.keras.applications.MobileNetV2(
+        input_shape=(96, 96, 3), include_top=False, weights=None)
+    with tempfile.TemporaryDirectory() as tmp:
+        h5 = os.path.join(tmp, "trunk.h5")
+        keras_model.save(h5)
+
+        # Conv trunk weights are image-size independent: a small-image
+        # config keeps this test's compile cheap while grafting the SAME
+        # trunk tensors the 300x300 model uses.
+        cfg = get_hyper_params(
+            "mobilenet_v2", img_size=64,
+            feature_map_shapes=(4, 2, 1, 1, 1, 1),
+            total_labels=6, max_gt_boxes=4)
+        model = get_model(cfg)
+        opt = make_optimizer(1e-3)
+        state = create_train_state(model, jax.random.key(0), opt)
+        ported = port_h5_into_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg.backbone, h5)
+
+    # the trunk actually changed (not a no-op graft)
+    old = state.params["backbone"]["stem"]["conv"]["kernel"]
+    new = ported["params"]["backbone"]["stem"]["conv"]["kernel"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+    state = state.replace(params=ported["params"],
+                          batch_stats=ported["batch_stats"])
+    anchors = generate_anchors(cfg)
+    step = make_train_step(model, anchors, opt, augment=False)
+    ds = SyntheticDataset(8, image_size=cfg.img_size, num_classes=5)
+    batch = next(batch_examples(ds, 4, cfg.max_gt_boxes))
+    new_state, metrics = jax.jit(step)(
+        state,
+        {"image": jnp.asarray(batch["image"]),
+         "boxes": jnp.asarray(batch["boxes"]),
+         "labels": jnp.asarray(batch["labels"])},
+        jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+@pytest.mark.slow
 def test_vgg16_trunk_parity():
     keras_model = tf.keras.applications.VGG16(
         input_shape=(300, 300, 3), include_top=False, weights=None)

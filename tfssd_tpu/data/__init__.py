@@ -6,7 +6,12 @@ Reference parity map:
 """
 
 from tfssd_tpu.data.augment import augment_batch, augment_image  # noqa: F401
-from tfssd_tpu.data.loader import batch_examples, pad_gt, prefetch  # noqa: F401
+from tfssd_tpu.data.loader import (  # noqa: F401
+    ConcatDataset,
+    batch_examples,
+    pad_gt,
+    prefetch,
+)
 from tfssd_tpu.data.synthetic import SyntheticDataset  # noqa: F401
 from tfssd_tpu.data.voc import (  # noqa: F401
     LABELS,

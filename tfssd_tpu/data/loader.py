@@ -19,7 +19,7 @@ import itertools
 import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
+from queue import Full, Queue
 from typing import Dict, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -47,6 +47,42 @@ def _parallel_examples(dataset, order: Sequence[int],
             yield out
     finally:
         ex.shutdown(wait=False, cancel_futures=True)
+
+
+class ConcatDataset:
+    """Concatenation of random-access datasets into one.
+
+    Reference parity: trainer.py loads VOC07 train+validation AND VOC12
+    trainval and concatenates them (`data_utils.get_dataset` over
+    "voc/2007" + "voc/2012"); this is the equivalent for raw-VOCdevkit
+    datasets. `len` is the sum; `example(i)` dispatches into the child
+    that owns global index i, so the loader's shuffle permutes across the
+    union and parallel decode workers keep working unchanged.
+    """
+
+    def __init__(self, datasets: Sequence):
+        if not datasets:
+            raise ValueError("ConcatDataset needs at least one dataset")
+        for d in datasets:
+            if not hasattr(d, "example") or not hasattr(d, "__len__"):
+                raise TypeError(
+                    f"ConcatDataset children need random access "
+                    f"(__len__ + example); got {type(d).__name__}")
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def example(self, index: int) -> Dict:
+        if not 0 <= index < len(self):
+            raise IndexError(index)
+        child = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        return self.datasets[child].example(index - int(self._offsets[child]))
+
+    def __iter__(self) -> Iterator[Dict]:
+        for i in range(len(self)):
+            yield self.example(i)
 
 
 def pad_gt(boxes: np.ndarray, labels: np.ndarray, max_gt: int):
@@ -132,20 +168,27 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     sentinel = object()
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """Put with stop-check so NO producer put can block forever once
+        the consumer has exited (including the final sentinel/exception
+        put — the consumer's drain runs only once, after which a plain
+        blocking put on a full queue would never return)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterator:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except Exception:  # queue.Full
-                        continue
-                if stop.is_set():
+                if not _put(item):
                     return
-            q.put(sentinel)
+            _put(sentinel)
         except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -28,10 +28,11 @@ XLA impl; this kernel is kept as the fused-VMEM reference
 (combined_nms(impl="pallas")) and as the starting point for a future
 multi-instance-per-sweep variant.
 
-Precision note: this kernel computes IoU in f32; the XLA path uses bf16
-candidates (a deliberate bandwidth trade). Both produce exact greedy
-w.r.t. their own IoU rounding — keep decisions can differ for pairs
-whose IoU straddles the threshold within bf16 precision (~0.3%).
+Precision note: both this kernel and the XLA path compute IoU in f32 —
+a bf16-candidate variant of the XLA path was tried (~2 ms faster at
+batch 256) and reverted because bf16's ~0.004 absolute resolution near
+coordinate 1.0 corrupts IoU for small boxes (see ops/nms.py). Keep
+decisions are therefore exact greedy and identical across impls.
 """
 
 from __future__ import annotations

@@ -34,14 +34,30 @@ def handle_args(description: str = "tfssd_tpu") -> argparse.ArgumentParser:
                         "memory growth in TF; no TPU equivalent is "
                         "needed -- platform selection is JAX_PLATFORMS)")
     p.add_argument("--batch-size", type=int, default=32)
-    p.add_argument("--data-root", default=None,
-                   help="VOCdevkit/VOC2007-style directory; omit for the "
-                        "synthetic dataset")
+    p.add_argument("--data-root", action="append", default=None,
+                   help="VOCdevkit/VOC2007-style directory, optionally "
+                        "with a split as ROOT:SPLIT. Repeatable: "
+                        "'--data-root VOC2007:trainval --data-root "
+                        "VOC2012:trainval' concatenates datasets (the "
+                        "reference's VOC07+12 training composition). "
+                        "Omit for the synthetic dataset")
     p.add_argument("--dataset", default="voc",
                    choices=("voc", "synthetic"))
     p.add_argument("--model-dir", default="trained")
     p.add_argument("--log-dir", default="logs")
     return p
+
+
+def parse_data_root(spec: str, default_split: str):
+    """Split a --data-root spec "ROOT[:SPLIT]" into (root, split).
+
+    The part after the last colon is a split name only when it looks like
+    one (no path separator), so plain paths keep working.
+    """
+    root, sep, split = spec.rpartition(":")
+    if sep and split and os.sep not in split and root:
+        return root, split
+    return spec, default_split
 
 
 def get_model_path(backbone: str, model_dir: str = "trained") -> str:

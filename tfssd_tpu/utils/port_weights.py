@@ -167,6 +167,22 @@ def graft(variables: Dict, backbone_tree: Dict,
     return new_vars
 
 
+def port_h5_into_variables(variables: Dict, backbone: str,
+                           h5_path: str) -> Dict:
+    """Shared --port-h5 path for predictor.py AND trainer.py: load a Keras
+    h5 (reference `trained/ssd_*_model_weights.h5` format or a
+    keras.applications trunk), port the backbone subtree, graft it into
+    `variables` (a {"params": ..., "batch_stats": ...} collection).
+
+    Reference parity: the reference's accuracy rests on keras.applications
+    ImageNet trunk initialization (SURVEY.md §2 #3/#4, §7 hard parts);
+    this is the fine-tune-from-ported-trunk entry for both CLIs.
+    """
+    weights = load_keras_h5(h5_path)
+    porter = port_mobilenet_v2 if backbone == "mobilenet_v2" else port_vgg16
+    return graft(variables, porter(weights))
+
+
 def load_keras_h5(path: str):
     """Load a Keras h5/keras file (reference checkpoint format) and return
     its flattened weights. Requires TensorFlow."""

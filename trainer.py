@@ -20,7 +20,13 @@ import jax
 import numpy as np
 
 from tfssd_tpu import get_hyper_params
-from tfssd_tpu.data import SyntheticDataset, VOCDataset, batch_examples, prefetch
+from tfssd_tpu.data import (
+    ConcatDataset,
+    SyntheticDataset,
+    VOCDataset,
+    batch_examples,
+    prefetch,
+)
 from tfssd_tpu.models import get_model
 from tfssd_tpu.ops.boxes import generate_anchors
 from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
@@ -33,15 +39,30 @@ from tfssd_tpu.train import (
     make_train_step,
 )
 from tfssd_tpu.utils.checkpoint import CheckpointManager
-from tfssd_tpu.utils.io import get_log_path, get_model_path, handle_args
+from tfssd_tpu.utils.io import (
+    get_log_path,
+    get_model_path,
+    handle_args,
+    parse_data_root,
+)
 from tfssd_tpu.utils.metrics import MetricsLogger
 
 
 def make_datasets(args, img_size: int):
     if args.dataset == "voc" and args.data_root:
-        train = VOCDataset(args.data_root, args.train_split,
-                           image_size=img_size)
-        val = VOCDataset(args.data_root, args.val_split, image_size=img_size)
+        # Repeatable --data-root (ROOT[:SPLIT]) concatenates training
+        # sets — the reference composes VOC07 train+validation with VOC12
+        # trainval (trainer.py / data_utils.get_dataset voc/2007+voc/2012).
+        parts = [
+            VOCDataset(root, split, image_size=img_size)
+            for root, split in (parse_data_root(s, args.train_split)
+                                for s in args.data_root)
+        ]
+        train = parts[0] if len(parts) == 1 else ConcatDataset(parts)
+        # Validation comes from the FIRST root (the reference monitors
+        # val_loss on VOC07 only).
+        val_root, _ = parse_data_root(args.data_root[0], args.train_split)
+        val = VOCDataset(val_root, args.val_split, image_size=img_size)
     else:
         train = SyntheticDataset(args.synthetic_size, image_size=img_size,
                                  seed=0)
@@ -60,6 +81,11 @@ def main():
     parser.add_argument("--synthetic-size", type=int, default=512)
     parser.add_argument("--no-augment", action="store_true")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--port-h5", default=None,
+                        help="initialize the conv trunk from a Keras h5 "
+                             "(reference weights / keras.applications "
+                             "ImageNet trunk) and fine-tune from it; "
+                             "ignored when --resume finds a checkpoint")
     parser.add_argument("--init-lr", type=float, default=1e-3)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 conv trunk (recommended on TPU)")
@@ -108,6 +134,15 @@ def main():
     schedule = make_lr_schedule(steps_per_epoch, args.init_lr)
     optimizer = make_optimizer(schedule)
     state = create_train_state(model, jax.random.key(args.seed), optimizer)
+    if args.port_h5:
+        from tfssd_tpu.utils.port_weights import port_h5_into_variables
+
+        ported = port_h5_into_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg.backbone, args.port_h5)
+        state = state.replace(params=ported["params"],
+                              batch_stats=ported["batch_stats"])
+        print(f"ported trunk weights from {args.port_h5}; fine-tuning")
 
     mesh = get_mesh()
     state = replicate(mesh, state)
