@@ -122,6 +122,66 @@ def test_fixpoint_matches_sequential_greedy():
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
 
 
+def test_blocked_matches_sequential_greedy():
+    # The blocked triangular solve (default impl) must equal the textbook
+    # sequential greedy, including across block boundaries (K > 64) and
+    # on heavily overlapping candidate sets (where the fixpoint's sweep
+    # count explodes — the case the blocked form was built for).
+    rng = np.random.RandomState(11)
+    from tfssd_tpu.ops import boxes as box_ops
+
+    for k, spread in [(200, 1.0), (200, 0.1), (130, 0.3), (65, 0.05),
+                      (64, 1.0), (7, 1.0)]:
+        m = 5
+        centers = rng.uniform(0.3, 0.7, size=(m, k, 2)) * spread + 0.15
+        sizes = rng.uniform(0.05, 0.4, size=(m, k, 2)) * max(spread, 0.3)
+        b = np.clip(np.concatenate(
+            [centers - sizes / 2, centers + sizes / 2], -1), 0, 1)
+        b = jnp.asarray(b, jnp.float32)
+        valid = jnp.asarray(rng.rand(m, k) > 0.1)
+        blocked = np.asarray(nms._greedy_keep_blocked(b, valid, 0.45))
+        for i in range(m):
+            ious = box_ops.iou_matrix(b[i], b[i])
+            slow = nms._greedy_keep_sequential(ious, valid[i], 0.45)
+            np.testing.assert_array_equal(blocked[i], np.asarray(slow),
+                                          err_msg=f"k={k} spread={spread}")
+
+
+def test_prefilter_no_op_when_m_exceeds_n():
+    rng = np.random.RandomState(3)
+    raw = rng.uniform(0, 1, size=(2, 90, 2, 2)).astype(np.float32)
+    boxes = np.concatenate([raw.min(axis=2), raw.max(axis=2)], axis=-1)
+    scores = rng.uniform(0, 1, size=(2, 90, 6)).astype(np.float32)
+    exact = nms.combined_nms(jnp.asarray(boxes), jnp.asarray(scores))
+    pref = nms.combined_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            prefilter_anchors=512)
+    for f in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(exact, f)),
+                                      np.asarray(getattr(pref, f)), f)
+
+
+def test_prefilter_matches_exact_on_peaked_scores():
+    # Trained-model-like input: a few strong detections, junk tail. The
+    # top-M cut must not change any detection with a meaningful score.
+    rng = np.random.RandomState(5)
+    n, c, m = 600, 8, 128
+    raw = rng.uniform(0, 1, size=(2, n, 2, 2)).astype(np.float32)
+    boxes = np.concatenate([raw.min(axis=2), raw.max(axis=2)], axis=-1)
+    scores = rng.uniform(0, 0.01, size=(2, n, c)).astype(np.float32)
+    for img in range(2):
+        strong = rng.choice(n, 40, replace=False)
+        scores[img, strong, rng.randint(0, c, 40)] = rng.uniform(
+            0.3, 1.0, 40)
+    exact = nms.combined_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             max_total_detections=50, score_threshold=0.05)
+    pref = nms.combined_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            max_total_detections=50, score_threshold=0.05,
+                            prefilter_anchors=m)
+    for f in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(exact, f)),
+                                      np.asarray(getattr(pref, f)), f)
+
+
 def test_planes_impl_matches_reference_layout():
     # combined_nms_planes must reproduce combined_nms (both f32 IoU at
     # small K so bf16 borderline effects don't apply: compare vs the

@@ -56,6 +56,15 @@ class SSDConfig:
     nms_score_threshold: float = 0.0
     max_detections_per_class: int = 200
     max_total_detections: int = 200
+    # Suppression implementation: "blocked" (triangular solve — exact
+    # greedy, deterministic cost), "xla" (fixpoint matvec — exact greedy,
+    # cost grows with suppression-chain depth), "pallas" (fused kernel).
+    nms_impl: str = "blocked"
+    # Class-agnostic candidate cut before the per-class NMS stages: keep
+    # the top-M anchors per image by max class score (0 = off/exact).
+    # Near-exact (see ops/nms.py:combined_nms) and much faster: every
+    # per-class stage runs at width M instead of total_anchors.
+    nms_prefilter_anchors: int = 512
     # Paper's bipartite "force match best prior for each gt" step. The
     # reference matches by threshold only; keep its behaviour by default.
     force_match_for_gt: bool = False

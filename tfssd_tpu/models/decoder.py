@@ -53,7 +53,8 @@ def decode_predictions(
         max_total_detections=config.max_total_detections,
         iou_threshold=config.nms_iou_threshold,
         score_threshold=config.nms_score_threshold,
-        impl="xla",
+        impl=config.nms_impl,
+        prefilter_anchors=config.nms_prefilter_anchors,
     )
     # Shift class ids back into the reference's 1-based label space.
     shifted = jnp.where(res.classes >= 0, res.classes + 1, 0)

@@ -99,6 +99,75 @@ def _greedy_keep(ious: Array, valid: Array, iou_threshold: float) -> Array:
     return keep
 
 
+def _greedy_keep_blocked(boxes: Array, valid: Array, iou_threshold: float,
+                         block: int = 64) -> Array:
+    """EXACT greedy suppression by blocked forward substitution.
+
+    The greedy recurrence keep[j] = valid[j] & !any(keep[i] & S[i,j], i<j)
+    is a unit-triangular boolean solve. Solve it block by block in score
+    order: within a diagonal block, an unrolled textbook sweep (each step
+    elementwise on (M, block) — fused by XLA, one pass over the block);
+    across blocks, accumulate suppression hits with one int8 matvec per
+    block pair (every off-diagonal S tile is read exactly once, on the
+    MXU). Unlike the fixpoint iteration (`_greedy_keep`), total work is
+    DETERMINISTIC — one triangular pass over S — instead of
+    O(longest suppression chain) full-matrix sweeps, which degrades to
+    tens of 200x200 sweeps when candidates overlap heavily (near-uniform
+    scores, e.g. early in training).
+
+    boxes: (M, K, 4) score-sorted candidate corners (M = batch*classes
+    flattened); valid: (M, K) bool. Returns (M, K) bool keep. IoU tiles
+    are computed on the fly from corner planes — the full (M, K, K) IoU
+    tensor is never materialized.
+    """
+    m, k, _ = boxes.shape
+    nb = -(-k // block)
+    kp = nb * block
+    if kp != k:
+        boxes = jnp.pad(boxes, ((0, 0), (0, kp - k), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, kp - k)))
+    # Materialize the inputs once: without the barrier XLA duplicates the
+    # producer (the candidate gather) into every one of the O(nb^2) IoU
+    # tiles and the unrolled sweeps, exploding compile time.
+    boxes, valid = jax.lax.optimization_barrier((boxes, valid))
+    y0, x0, y1, x1 = (boxes[..., i] for i in range(4))
+
+    def iou_tile(rows, cols):
+        """(M, block, block) IoU of row-block candidates vs col-block."""
+        ra, ca = slice(rows * block, (rows + 1) * block), \
+            slice(cols * block, (cols + 1) * block)
+        iy0 = jnp.maximum(y0[:, ra, None], y0[:, None, ca])
+        ix0 = jnp.maximum(x0[:, ra, None], x0[:, None, ca])
+        iy1 = jnp.minimum(y1[:, ra, None], y1[:, None, ca])
+        ix1 = jnp.minimum(x1[:, ra, None], x1[:, None, ca])
+        inter = (jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0))
+        area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+        union = area[:, ra, None] + area[:, None, ca] - inter
+        return inter / jnp.maximum(union, 1e-8)
+
+    idx = jnp.arange(block)
+    upper = idx[:, None] < idx[None, :]          # strict: i suppresses j>i
+
+    kept_blocks = []
+    # hits[l]: int32 (M, block) suppression count flowing into block l
+    # from already-solved blocks.
+    hits = [jnp.zeros((m, block), jnp.int32) for _ in range(nb)]
+    for bi in range(nb):
+        sb = (iou_tile(bi, bi) > iou_threshold) & upper
+        keep = (valid[:, bi * block:(bi + 1) * block]
+                & (hits[bi] == 0))
+        for i in range(block):                   # unrolled textbook sweep
+            keep = keep & ~(keep[:, i:i + 1] & sb[:, i, :])
+        kept_blocks.append(keep)
+        keep8 = keep.astype(jnp.int8)[:, None, :]        # (M, 1, block)
+        for later in range(bi + 1, nb):
+            s_cross = (iou_tile(bi, later) > iou_threshold).astype(jnp.int8)
+            hits[later] = hits[later] + jnp.matmul(
+                keep8, s_cross,
+                preferred_element_type=jnp.int32)[:, 0, :]
+    return jnp.concatenate(kept_blocks, axis=1)[:, :k]
+
+
 def _merge_detections(kept_scores, gather_boxes, num_classes: int, k: int,
                       max_total_detections: int) -> NMSResult:
     """Global cross-class merge: flatten per-class survivors, take the
@@ -137,16 +206,35 @@ def combined_nms(
     max_total_detections: int = 200,
     iou_threshold: float = 0.45,
     score_threshold: float = 0.0,
-    impl: str = "xla",   # "xla" (fixpoint matvec) | "pallas" (fused kernel)
+    impl: str = "blocked",  # "blocked" (triangular solve, default) |
+                            # "xla" (fixpoint matvec) | "pallas" (kernel)
+    prefilter_anchors: int = 0,   # 0 = exact; M>0 keeps only the top-M
+                                  # anchors per image by max class score
+                                  # before the per-class stages
 ) -> NMSResult:
     """Batched combined (per-class) NMS; see module docstring.
 
     Written as flat batched stages over the (B, C) leading axes — one
-    top_k, one gather, one IoU broadcast, one fixpoint suppression, one
+    top_k, one gather, one IoU broadcast, one suppression solve, one
     final top_k — rather than nested per-image/per-class closures, so XLA
     tiles each stage across the whole batch.
+
+    prefilter_anchors=M > 0 inserts a class-agnostic candidate cut: one
+    cheap B-row top_k keeps the M anchors with the highest max-over-class
+    score, and every per-class stage then runs at width M instead of N.
+    Near-exact, not exact: an anchor outside the top M by max score could
+    still rank in some class's top candidates — but only with a class
+    score below the M-th best anchor's best score, i.e. deep in the junk
+    tail (never among real detections). The exactness-sensitive tests and
+    parity oracles run with the default 0.
     """
     b, n, num_classes = scores.shape
+    if 0 < prefilter_anchors < n:
+        m = prefilter_anchors
+        _, sel = jax.lax.top_k(jnp.max(scores, axis=-1), m)    # (B, M)
+        scores = jnp.take_along_axis(scores, sel[..., None], axis=1)
+        boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
+        n = m
     k = min(max_detections_per_class, n)
 
     # Per-class top-K candidates: (B, C, K).
@@ -166,6 +254,11 @@ def combined_nms(
         keep = nms_keep_pallas(
             top_boxes.reshape(-1, k, 4), top_scores.reshape(-1, k),
             iou_threshold, score_threshold,
+        ).reshape(b, num_classes, k)
+    elif impl == "blocked":
+        keep = _greedy_keep_blocked(
+            top_boxes.reshape(-1, k, 4), valid.reshape(-1, k),
+            iou_threshold,
         ).reshape(b, num_classes, k)
     else:
         # Pairwise IoU per (image, class): (B, C, K, K), in f32. A bf16
