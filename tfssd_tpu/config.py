@@ -73,6 +73,12 @@ class SSDConfig:
     # TPU compute dtype for the conv trunk ("bfloat16" or "float32").
     # Parameters always live in float32.
     compute_dtype: str = "float32"
+    # BatchNorm running-average momentum (Keras MobileNetV2 uses 0.999;
+    # 0.99 converges the running stats in a few hundred steps, which the
+    # reference's multi-epoch VOC schedules easily supply). Small-step
+    # runs (tests, tiny overfit experiments) should lower this so eval
+    # mode sees converged statistics.
+    bn_momentum: float = 0.99
     # Use the Pallas native-tier kernels (ops/kernels/) where available
     # instead of the jnp reference implementations.
     use_pallas: bool = False

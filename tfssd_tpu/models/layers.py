@@ -34,6 +34,7 @@ class ConvBN(nn.Module):
     padding: str = "SAME"
     act: Optional[Callable[[Array], Array]] = nn.relu6
     dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -49,7 +50,7 @@ class ConvBN(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.99,
+            momentum=self.bn_momentum,
             epsilon=1e-3,
             dtype=jnp.float32,
             name="bn",
@@ -70,6 +71,7 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand_ratio: int = 6
     dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -77,17 +79,19 @@ class InvertedResidual(nn.Module):
         hidden = inp * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = ConvBN(hidden, (1, 1), dtype=self.dtype, name="expand")(y, train)
+            y = ConvBN(hidden, (1, 1), dtype=self.dtype,
+                       bn_momentum=self.bn_momentum, name="expand")(y, train)
         y = ConvBN(
             hidden,
             (3, 3),
             strides=(self.stride, self.stride),
             groups=hidden,
             dtype=self.dtype,
+            bn_momentum=self.bn_momentum,
             name="depthwise",
         )(y, train)
         y = ConvBN(self.features, (1, 1), act=None, dtype=self.dtype,
-                   name="project")(y, train)
+                   bn_momentum=self.bn_momentum, name="project")(y, train)
         if self.stride == 1 and inp == self.features:
             y = y + x
         return y
@@ -128,15 +132,18 @@ class ExtraFeatureBlock(nn.Module):
     padding: str = "SAME"       # "VALID" for the final 3x3->1x1 stages
     use_bn: bool = False        # MBv2 extras use BN; VGG extras use bias+relu
     dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         if self.use_bn:
             x = ConvBN(self.reduce_features, (1, 1), act=nn.relu6,
-                       dtype=self.dtype, name="reduce")(x, train)
+                       dtype=self.dtype, bn_momentum=self.bn_momentum,
+                       name="reduce")(x, train)
             x = ConvBN(self.features, (3, 3), strides=self.strides,
                        padding=self.padding, act=nn.relu6,
-                       dtype=self.dtype, name="down")(x, train)
+                       dtype=self.dtype, bn_momentum=self.bn_momentum,
+                       name="down")(x, train)
         else:
             x = nn.relu(nn.Conv(self.reduce_features, (1, 1),
                                 dtype=self.dtype, name="reduce")(x))

@@ -40,12 +40,14 @@ class MobileNetV2Backbone(nn.Module):
     """Trunk + SSD extras -> list of 6 feature maps (19/10/5/3/2/1 @300)."""
 
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> List[Array]:
+        bn = self.bn_momentum
         x = x.astype(self.dtype)
         x = ConvBN(32, (3, 3), strides=(2, 2), dtype=self.dtype,
-                   name="stem")(x, train)
+                   bn_momentum=bn, name="stem")(x, train)
 
         taps: List[Array] = []
         block_idx = 0
@@ -59,22 +61,25 @@ class MobileNetV2Backbone(nn.Module):
                     # tap can be captured, then the rest of the block.
                     hidden = x.shape[-1] * t
                     y = ConvBN(hidden, (1, 1), dtype=self.dtype,
+                               bn_momentum=bn,
                                name=f"block{block_idx}_expand")(x, train)
                     taps.append(y)
                     y = ConvBN(hidden, (3, 3), strides=(2, 2), groups=hidden,
-                               dtype=self.dtype,
+                               dtype=self.dtype, bn_momentum=bn,
                                name=f"block{block_idx}_depthwise")(y, train)
                     x = ConvBN(c, (1, 1), act=None, dtype=self.dtype,
+                               bn_momentum=bn,
                                name=f"block{block_idx}_project")(y, train)
                 else:
                     x = InvertedResidual(
                         c, stride=stride, expand_ratio=t, dtype=self.dtype,
-                        name=f"block{block_idx}",
+                        bn_momentum=bn, name=f"block{block_idx}",
                     )(x, train)
                 block_idx += 1
 
         # Final 1x1 conv to 1280 (Keras out_relu), tap #2: 10x10x1280.
-        x = ConvBN(1280, (1, 1), dtype=self.dtype, name="head_conv")(x, train)
+        x = ConvBN(1280, (1, 1), dtype=self.dtype, bn_momentum=bn,
+                   name="head_conv")(x, train)
         taps.append(x)
 
         # SSD extra feature blocks (reference ssd_mobilenet_v2.py extras):
@@ -83,6 +88,6 @@ class MobileNetV2Backbone(nn.Module):
             (256, 512), (128, 256), (128, 256), (64, 128))
         for j, (r, f) in enumerate(extras):
             x = ExtraFeatureBlock(r, f, use_bn=True, dtype=self.dtype,
-                                  name=f"extra{j}")(x, train)
+                                  bn_momentum=bn, name=f"extra{j}")(x, train)
             taps.append(x)
         return taps
