@@ -59,8 +59,12 @@ def get_model(config: SSDConfig) -> SSD:
 
 def init_model(model: SSD, rng: jax.Array, batch_size: int = 1):
     """Mirror of reference `init_model(model)` — dummy forward to build
-    shapes. Returns the full variable collection ({'params', 'batch_stats'})."""
+    shapes. Returns the full variable collection ({'params', 'batch_stats'}).
+
+    The init runs under jit: eager `model.init` dispatches thousands of
+    tiny param-init ops one by one, which costs minutes over a remote
+    device transport (measured 277s on the axon TPU tunnel vs ~3s jitted)."""
     cfg = model.config
     dummy = jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3),
                       jnp.float32)
-    return model.init(rng, dummy, train=False)
+    return jax.jit(lambda r: model.init(r, dummy, train=False))(rng)

@@ -99,9 +99,11 @@ def create_train_state(model: SSD, rng: jax.Array,
                        optimizer: optax.GradientTransformation,
                        batch_size: int = 1) -> TrainState:
     cfg = model.config
-    variables = model.init(
-        rng, jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3)),
-        train=False)
+    # Jitted for the same reason as models.ssd.init_model: eager init is
+    # minutes of per-op dispatch over a remote device transport.
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3)),
+        train=False))(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
