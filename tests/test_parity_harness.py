@@ -61,6 +61,24 @@ def test_comparator_ignores_below_threshold():
     assert ok
 
 
+def test_compare_priors_stage0():
+    """Stage-0 anchor comparison: our own anchors match bit-for-bit; a
+    perturbed copy, a wrong-count copy, and a wrong-scale schedule are
+    rejected with diagnostics (VERDICT r2 next #7a)."""
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.ops.boxes import generate_anchors
+
+    cfg = get_hyper_params("mobilenet_v2")
+    ours = np.asarray(generate_anchors(cfg))
+    assert pvr.compare_priors(ours, cfg)
+    assert not pvr.compare_priors(ours + 1e-3, cfg)
+    assert not pvr.compare_priors(ours[:-1], cfg)
+    # A different scale schedule must be caught (the [M] VGG-scales claim).
+    wrong = np.asarray(generate_anchors(
+        get_hyper_params("mobilenet_v2", scale_min=0.1)))
+    assert not pvr.compare_priors(wrong, cfg)
+
+
 def test_empty_mount_exits_2(tmp_path):
     rc = pvr.main(["--reference", str(tmp_path)])
     assert rc == 2

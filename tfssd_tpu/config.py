@@ -64,6 +64,14 @@ class SSDConfig:
     # the top-M anchors per image by max class score (0 = off/exact).
     # Near-exact (see ops/nms.py:combined_nms) and much faster: every
     # per-class stage runs at width M instead of total_anchors.
+    # Tail-semantics coupling: with M < max_detections_per_class * C,
+    # per-class candidates come from the shared M-anchor pool, so at
+    # score_threshold 0.0 the COMPOSITION of the junk tail (scores below
+    # any real detection) can differ from exact NMS even though every
+    # real detection survives. Measured cost on trained SSD300 scores:
+    # mAP delta -0.0001, zero churn among detections with score >= 0.05
+    # (ARCHITECTURE.md "Accuracy cost of the prefilter default";
+    # tools/prefilter_ab.py reproduces it).
     nms_prefilter_anchors: int = 512
     # Paper's bipartite "force match best prior for each gt" step. The
     # reference matches by threshold only; keep its behaviour by default.

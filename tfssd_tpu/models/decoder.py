@@ -29,11 +29,13 @@ def decode_predictions(
     """Decode + NMS. Returned `classes` use the reference's label space
     (1..L-1, i.e. background-shifted +1); padding rows are class 0/score 0.
 
-    Implementation notes (both measured on v5e, batch 256):
-      * Suppression is the XLA fixpoint of ops.nms — it batches every
-        (image, class) instance into each sweep and beat the per-instance
-        Pallas kernel (42.1 vs 47.7 ms; grid programs serialize on the
-        single tensor core — ops/kernels/nms_keep.py has the numbers).
+    Implementation notes (all measured on v5e, batch 256):
+      * Suppression defaults to the blocked triangular solve of ops.nms
+        (config.nms_impl="blocked"), which moved the headline 5.7k ->
+        8.9k img/s/chip over the fixpoint matvec ("xla"). Both batch
+        every (image, class) instance per pass and beat the per-instance
+        Pallas kernel (grid programs serialize on the single tensor
+        core — ops/kernels/nms_keep.py has the numbers).
       * A lanes-last "plane form" rewrite of this whole chain
         (combined_nms_planes), motivated by the 128-lane padding of the
         (B, N, 4)/(B, N, L) tensors, measured 2.3x SLOWER end to end

@@ -19,9 +19,12 @@ this is a fixed-shape formulation:
   4. kept scores from all classes merged by a global top-K.
 
 Everything is static-shape, batched over (batch, class), and jit/pjit
-compatible. `impl="pallas"` swaps stages 2-3 for the fused VMEM-resident
-kernel in ops/kernels/nms_keep.py (selected by SSDConfig.use_pallas in
-the decode path).
+compatible. Stages 2-3 have three exact formulations selected by
+`impl` (the decode path passes SSDConfig.nms_impl; default "blocked"):
+"blocked" triangular solve, "xla" fixpoint matvec, and "pallas" (the
+fused VMEM-resident kernel in ops/kernels/nms_keep.py — a measured
+negative result, kept for the record). SSDConfig.use_pallas governs only
+the train-time matcher, not this decode path.
 """
 
 from __future__ import annotations

@@ -98,12 +98,11 @@ def make_optimizer(learning_rate) -> optax.GradientTransformation:
 def create_train_state(model: SSD, rng: jax.Array,
                        optimizer: optax.GradientTransformation,
                        batch_size: int = 1) -> TrainState:
-    cfg = model.config
-    # Jitted for the same reason as models.ssd.init_model: eager init is
-    # minutes of per-op dispatch over a remote device transport.
-    variables = jax.jit(lambda r: model.init(
-        r, jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3)),
-        train=False))(rng)
+    # Shares models.ssd's module-level jitted init so a second init of
+    # the same config hits the jit cache instead of recompiling.
+    from tfssd_tpu.models.ssd import init_model
+
+    variables = init_model(model, rng, batch_size)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

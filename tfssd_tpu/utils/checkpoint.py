@@ -36,21 +36,32 @@ class CheckpointManager:
 
     def save(self, step: int, state: TrainState,
              val_loss: Optional[float] = None) -> None:
+        """Initiate an ASYNC save and return immediately.
+
+        Orbax writes in a background thread, so the train loop keeps
+        dispatching steps while the previous epoch's state serializes
+        (a synchronous wait here was measured at 1-2 s per epoch — the
+        dominant per-epoch overhead on small epochs). Readers
+        (latest_step/best_step/restore*/close) barrier on in-flight
+        saves, so the async write is invisible to every consumer.
+        """
         metrics = {"val_loss": float(val_loss)} if val_loss is not None else None
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics)
-        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def best_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
     def restore(self, state_template: TrainState,
                 step: Optional[int] = None) -> TrainState:
         """Restore into the structure of `state_template` (an abstract or
         concrete TrainState with the right shapes/dtypes)."""
+        self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
@@ -72,6 +83,7 @@ class CheckpointManager:
         structure depends on the schedule/chain, so a full StandardRestore
         against a differently-built optimizer fails on structure mismatch.
         """
+        self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
@@ -87,4 +99,5 @@ class CheckpointManager:
         )
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()

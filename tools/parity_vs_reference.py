@@ -8,10 +8,17 @@ the mount is populated:
 
     python tools/parity_vs_reference.py --backbone mobilenet_v2
 
-Real mode (populated mount) does, defensively and with precise
-diagnostics at every step that depends on an [M]-confidence SURVEY
-claim:
+Real mode (populated mount) runs the stages in anchors -> weights ->
+outputs order (each later stage is meaningless if an earlier one fails),
+defensively and with precise diagnostics at every step that depends on an
+[M]-confidence SURVEY claim:
 
+  0. PRIOR BOXES FIRST (SURVEY §7: "the parity anchor"): the reference's
+     `generate_prior_boxes(feature_map_shapes, aspect_ratios)` vs our
+     `generate_anchors(cfg)`, compared elementwise to 1e-6. This settles
+     the [M] anchor-scale claims (e.g. the VGG16 s_k schedule,
+     VERDICT r2 weak #7) instantly — a mismatch exits 5 with the first
+     divergent prior per feature map and both scale schedules printed;
   1. import the reference's modules (utils.train_utils, utils.bbox_utils,
      models.ssd_<backbone>, models.decoder) from the mount;
   2. build its decoder model and load its trained h5 weights
@@ -21,11 +28,15 @@ claim:
      reference's layer names are known — unmapped weights are inventoried
      and the run exits 3 with the exact name/shape table to fill in);
   4. run both on identical fixed images and compare detections:
-     same class, IoU > --iou-tol, |score delta| < --score-tol.
+     same class, IoU > --iou-tol, |score delta| < --score-tol. The ±1
+     class-id convention is AUTO-DETECTED (the offset of {-1, 0, +1}
+     that maximizes matches on the first image is applied everywhere and
+     reported) rather than assumed — pass --class-offset to pin it.
 
 Exit codes: 0 parity PASS, 1 parity FAIL, 2 mount empty/unreadable,
 3 weight porting incomplete (diagnostic inventory printed), 4 reference
-API shape unexpected (symbol-by-symbol error printed).
+API shape unexpected (symbol-by-symbol error printed), 5 prior-box
+mismatch (stage 0).
 
 Mock mode (--mock, runnable today) drives the same comparison machinery
 against a TF/Keras "reference" built in-process: a randomly-initialized
@@ -197,7 +208,48 @@ def load_reference(ref_root: str, backbone: str, weights_path: str | None):
         boxes, scores, classes = (np.asarray(o) for o in out)
         return boxes, scores, classes
 
-    return predict, hyper, ref_model
+    return predict, hyper, ref_model, np.asarray(priors)
+
+
+def compare_priors(ref_priors: np.ndarray, cfg, atol: float = 1e-6) -> bool:
+    """Stage 0: elementwise prior-box comparison (SURVEY §7's parity
+    anchor). Prints, per feature map, the first divergent prior with both
+    sides' corners, plus both scale schedules — the exact data needed to
+    settle the [M] anchor-scale claims (VERDICT r2 weak #7)."""
+    from tfssd_tpu.ops.boxes import generate_anchors
+
+    ours = np.asarray(generate_anchors(cfg))
+    print(f"[stage 0] prior boxes: reference {ref_priors.shape} vs ours "
+          f"{ours.shape}")
+    if ref_priors.shape != ours.shape:
+        print(f"  COUNT MISMATCH — our per-map anchor counts: "
+              f"{cfg.anchors_per_map}; our scales: "
+              f"{tuple(round(s, 4) for s in cfg.map_scales)}")
+        return False
+    dev = np.abs(ref_priors - ours)
+    if float(dev.max()) <= atol:
+        print(f"  MATCH (max |dev| = {float(dev.max()):.2e})")
+        return True
+    # locate first divergence per feature map
+    bounds = np.cumsum((0,) + cfg.anchors_per_map)
+    bad = np.nonzero(dev.max(axis=-1) > atol)[0]
+    print(f"  MISMATCH: {len(bad)}/{len(ours)} priors differ "
+          f"(max |dev| = {float(dev.max()):.4f})")
+    for m in range(len(cfg.anchors_per_map)):
+        in_map = bad[(bad >= bounds[m]) & (bad < bounds[m + 1])]
+        if len(in_map) == 0:
+            continue
+        i = int(in_map[0])
+        print(f"  map {m} ({cfg.feature_map_shapes[m]}x"
+              f"{cfg.feature_map_shapes[m]}): first divergent prior "
+              f"#{i}: ref={np.round(ref_priors[i], 5).tolist()} "
+              f"ours={np.round(ours[i], 5).tolist()} "
+              f"({len(in_map)} differ in this map)")
+    print(f"  our scale schedule: "
+          f"{tuple(round(s, 4) for s in cfg.map_scales)} — if the "
+          f"reference's generate_prior_boxes uses a different s_k "
+          f"schedule, override SSDConfig.scales to its values.")
+    return False
 
 
 def port_reference_weights(ref_model, cfg, variables, layer_map_path=None):
@@ -395,6 +447,10 @@ def main(argv=None) -> int:
     p.add_argument("--score-threshold", type=float, default=0.3)
     p.add_argument("--iou-tol", type=float, default=0.95)
     p.add_argument("--score-tol", type=float, default=1e-2)
+    p.add_argument("--class-offset", default="auto",
+                   help="'auto' (default: detect the offset in {-1,0,+1} "
+                        "that maximizes first-image matches) or an int "
+                        "added to the REFERENCE class ids")
     p.add_argument("--mock", action="store_true",
                    help="exercise the machinery without a reference mount")
     args = p.parse_args(argv)
@@ -414,7 +470,7 @@ def main(argv=None) -> int:
 
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
     try:
-        ref_predict, hyper, ref_model = load_reference(
+        ref_predict, hyper, ref_model, ref_priors = load_reference(
             ref, args.backbone, args.weights)
     except ReferenceAPIError as e:
         print(f"reference API mismatch (update load_reference's candidate "
@@ -425,6 +481,10 @@ def main(argv=None) -> int:
     from tfssd_tpu.models import get_model, init_model
 
     cfg = get_hyper_params(args.backbone)
+    # Stage 0 — anchors before weights before outputs: downstream parity
+    # is untestable against mismatched priors.
+    if not compare_priors(ref_priors, cfg):
+        return 5
     import jax
     variables = init_model(get_model(cfg), jax.random.key(0))
     try:
@@ -445,10 +505,29 @@ def main(argv=None) -> int:
     rb, rs, rc = ref_predict(images)
     ob, osc, ocl = run_ours(cfg, variables, images)
 
+    if args.class_offset == "auto":
+        # The reference's decoder may emit 0-based foreground ids or the
+        # +1-shifted label space ([M] claim, SURVEY §2 #6) — detect
+        # instead of assuming: the offset that maximizes first-image
+        # matches wins (ties -> 0).
+        def matches_at(off: int) -> int:
+            _, rep = compare_detections(
+                {"boxes": rb[0], "scores": rs[0], "classes": rc[0] + off},
+                {"boxes": ob[0], "scores": osc[0], "classes": ocl[0]},
+                args.score_threshold, args.iou_tol, args.score_tol)
+            return rep["matched"]
+
+        class_offset = max((0, 1, -1), key=matches_at)
+        print(f"class-id offset auto-detected: {class_offset:+d} "
+              f"(reference ids + offset == our 1-based label space)")
+    else:
+        class_offset = int(args.class_offset)
+
     all_ok = True
     for i in range(len(images)):
         ok, rep = compare_detections(
-            {"boxes": rb[i], "scores": rs[i], "classes": rc[i]},
+            {"boxes": rb[i], "scores": rs[i],
+             "classes": np.asarray(rc[i]) + class_offset},
             {"boxes": ob[i], "scores": osc[i], "classes": ocl[i]},
             args.score_threshold, args.iou_tol, args.score_tol)
         status = "ok" if ok else "MISMATCH"

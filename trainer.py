@@ -102,6 +102,16 @@ def main():
     parser.add_argument("--ckpt-every", type=int, default=1,
                         help="epochs between checkpoint saves (the final "
                              "epoch always saves)")
+    parser.add_argument("--val-every", type=int, default=1,
+                        help="epochs between validation passes (the final "
+                             "epoch always validates; epochs without a "
+                             "val pass also skip checkpointing, since "
+                             "best-by-val-loss needs the metric)")
+    parser.add_argument("--val-limit", type=int, default=None,
+                        help="cap validation at N batches per pass "
+                             "(default: the full val set)")
+    parser.add_argument("--prefetch-depth", type=int, default=4,
+                        help="host batches buffered ahead of the device")
     parser.add_argument("--workers", type=int, default=8,
                         help="parallel host decode threads")
     parser.add_argument("--log-every", type=int, default=50,
@@ -146,9 +156,14 @@ def main():
 
     mesh = get_mesh()
     state = replicate(mesh, state)
+    # donate_argnums: the previous TrainState's buffers are consumed by
+    # the update, so XLA reuses them for the new state in place — no
+    # params+opt_state double-buffering in HBM. (Checkpointing is safe:
+    # ckpt.save receives a jax.device_get'd host copy.)
     train_step = jax.jit(
         make_train_step(model, anchors, optimizer,
-                        augment=not args.no_augment))
+                        augment=not args.no_augment),
+        donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, anchors))
 
     ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
@@ -170,7 +185,7 @@ def main():
         it = prefetch(batch_examples(
             train_ds, args.batch_size, cfg.max_gt_boxes,
             shuffle_seed=args.seed * 10_000 + epoch,
-            workers=args.workers))
+            workers=args.workers), depth=args.prefetch_depth)
         epoch_metrics = []
         profiling = args.profile and epoch == start_epoch
         if profiling:
@@ -197,45 +212,66 @@ def main():
                       f"conf={m['conf_loss']:.4f}")
                 log.log(int(jax.device_get(state.step)), m, prefix="train/")
         jax.block_until_ready(state.params)
-        if train_start is None:
-            train_start = time.perf_counter()  # exclude epoch-0 compile
-        else:
+        if train_start is not None:
             total_images += steps_per_epoch * args.batch_size
         if profiling:
             trace_cm.__exit__(None, None, None)
             print(f"profiler trace written to {log_path}")
 
-        # validation. Partial batches are kept (a val set smaller than the
-        # batch must still yield a loss) and the mean is weighted by the
-        # number of REAL images per batch: padded rows contribute exactly
-        # zero loss, so an unweighted mean would dilute the final partial
+        # validation (every --val-every epochs; the final epoch always).
+        # Partial batches are kept (a val set smaller than the batch must
+        # still yield a loss) and the mean is weighted by the number of
+        # REAL images per batch: padded rows contribute exactly zero
+        # loss, so an unweighted mean would dilute the final partial
         # batch and bias best-checkpoint selection.
-        val_total, val_count = 0.0, 0
-        for batch in batch_examples(val_ds, args.batch_size,
-                                    cfg.max_gt_boxes,
-                                    drop_remainder=False):
-            device_batch = shard_batch(mesh, {
-                "image": batch["image"],
-                "boxes": batch["boxes"],
-                "labels": batch["labels"],
-            })
-            batch_mean = float(eval_step(state, device_batch)["loss"])
-            val_total += batch_mean * args.batch_size  # sum over real rows
-            val_count += batch["num_valid"]
-        val_loss = val_total / val_count if val_count else float("inf")
-        tr = float(np.mean([m["loss"] for m in epoch_metrics]))
-        print(f"epoch {epoch}: train_loss={tr:.4f} val_loss={val_loss:.4f} "
-              f"lr={float(schedule(int(state.step))):.2e}")
-        log.log(int(state.step), {"val_loss": val_loss, "epoch": epoch})
-        if (epoch + 1) % args.ckpt_every == 0 or epoch == args.epochs - 1:
-            ckpt.save(int(state.step), jax.device_get(state),
-                      val_loss=val_loss)
+        last_epoch = epoch == args.epochs - 1
+        if (epoch + 1) % args.val_every == 0 or last_epoch:
+            val_total, val_count = 0.0, 0
+            for vb, batch in enumerate(batch_examples(
+                    val_ds, args.batch_size, cfg.max_gt_boxes,
+                    drop_remainder=False)):
+                if args.val_limit is not None and vb >= args.val_limit:
+                    break
+                device_batch = shard_batch(mesh, {
+                    "image": batch["image"],
+                    "boxes": batch["boxes"],
+                    "labels": batch["labels"],
+                })
+                batch_mean = float(eval_step(state, device_batch)["loss"])
+                val_total += batch_mean * args.batch_size  # real-row sum
+                val_count += batch["num_valid"]
+            val_loss = val_total / val_count if val_count else float("inf")
+            tr = float(np.mean([m["loss"] for m in epoch_metrics])) \
+                if epoch_metrics else float("nan")
+            print(f"epoch {epoch}: train_loss={tr:.4f} "
+                  f"val_loss={val_loss:.4f} "
+                  f"lr={float(schedule(int(state.step))):.2e}")
+            log.log(int(state.step), {"val_loss": val_loss, "epoch": epoch})
+            if (epoch + 1) % args.ckpt_every == 0 or last_epoch:
+                # async save: jax.device_get snapshots to host numpy
+                # first, so the background write races with nothing (the
+                # device buffers are donated to the next step).
+                ckpt.save(int(state.step), jax.device_get(state),
+                          val_loss=val_loss)
+        # End-to-end clock starts after the FIRST full epoch iteration
+        # (train + val + ckpt), so the one-time jit compiles of the train
+        # AND eval steps are excluded and every timed epoch carries the
+        # full loop overhead (data loading, val passes, async saves).
+        if train_start is None:
+            train_start = time.perf_counter()
 
     if train_start is not None and total_images:
         elapsed = time.perf_counter() - train_start
-        print(f"throughput: {total_images / elapsed:.1f} img/s "
-              f"(post-compile, {total_images} images in {elapsed:.1f}s "
-              f"incl. validation)")
+        e2e = total_images / elapsed
+        short = {"mobilenet_v2": "mbv2", "vgg16": "vgg16",
+                 "vgg16_512": "ssd512"}.get(args.backbone, args.backbone)
+        import json as _json
+        print(_json.dumps({
+            "metric": f"train_{short}_e2e_images_per_sec",
+            "value": round(e2e, 2), "unit": "images/sec",
+            "config": f"trainer.py end-to-end, batch {args.batch_size}, "
+                      f"val-every {args.val_every}, incl. data loading + "
+                      f"validation + checkpointing (post-compile)"}))
     ckpt.close()
     log.close()
 
