@@ -190,6 +190,9 @@ def main():
                    help="route the train configs through the Pallas "
                         "fused match+encode kernel (use_pallas=True)")
     args = p.parse_args()
+    # Warm-start jit compiles from the persistent XLA cache.
+    from tfssd_tpu.utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     if args.config in ("headline", "all"):
         img_s, dt = bench_inference(args.batch_size or 256, args.iters)

@@ -59,6 +59,9 @@ def main():
                              "migration path); heads stay initialized "
                              "unless a checkpoint is also loaded")
     args = parser.parse_args()
+    # Warm-start jit compiles from the persistent XLA cache.
+    from tfssd_tpu.utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     cfg = get_hyper_params(args.backbone)
     # Fail fast on a missing checkpoint BEFORE paying the model build/compile.

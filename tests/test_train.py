@@ -277,6 +277,45 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_pack_state_roundtrip_exact():
+    # The async save path serializes the TrainState through ONE packed
+    # uint8 buffer (bitcast per leaf + concat on device, zero-copy views
+    # on host). Every leaf must round-trip bit-exactly, across dtypes
+    # (f32 params, i32 step/counts, any bool masks in opt_state).
+    from tfssd_tpu.utils.checkpoint import pack_state, unpack_state
+
+    _, _, _, _, state, step, batch = _tiny_setup()
+    s1, _ = jax.jit(step)(state, batch, jax.random.key(0))
+    packed, treedef, specs = pack_state(s1)
+    host = unpack_state(packed, treedef, specs)
+    src = jax.tree_util.tree_leaves(s1)
+    dst = jax.tree_util.tree_leaves(host)
+    assert len(src) == len(dst)
+    for a, b in zip(jax.device_get(src), dst):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_save_from_device_restores_like_sync_save(tmp_path):
+    # trainer.py checkpoints via the non-blocking save_from_device; a
+    # restore must see exactly what a synchronous save would have written,
+    # and readers must barrier on the in-flight background fetch.
+    from tfssd_tpu.utils.checkpoint import CheckpointManager
+
+    _, _, _, _, state, step, batch = _tiny_setup()
+    s1, _ = jax.jit(step)(state, batch, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_from_device(1, s1, val_loss=2.5)
+    assert mgr.latest_step() == 1  # flushes the background fetch
+    restored = mgr.restore(state)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
 @pytest.mark.slow
 def test_checkpoint_weights_restore_across_optimizers(tmp_path):
     # predictor.py restores with a *different* optimizer than the trainer

@@ -12,12 +12,75 @@ full TrainState (params + batch_stats + opt_state + step) round-trips, so
 from __future__ import annotations
 
 import os
-from typing import Optional
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
 
 from tfssd_tpu.train import TrainState
+
+
+@jax.jit
+def _concat_group(leaves):
+    """Concatenate same-dtype arrays into ONE 1-D device buffer.
+
+    The TPU tunnel pays a full round trip per D2H transfer: fetching the
+    TrainState's 734 leaves individually was measured at 232 s (~0.4 MB/s
+    effective) while the packed 98 MB buffer arrived in 9 ms. Packing is
+    plain ravel+concat — per-leaf `bitcast_convert_type` to uint8 was
+    measured to blow up XLA compile time superlinearly (160 bitcasts:
+    16 s; 734: 374 s) while pure concat of the same leaves compiles in
+    ~3 s and executes in ~1 ms, so leaves are grouped by dtype instead of
+    byte-cast into a single buffer.
+    """
+    parts = [(x.astype(jnp.uint8) if x.dtype == jnp.bool_ else x).ravel()
+             for x in leaves]
+    return jnp.concatenate(parts)
+
+
+def pack_state(state) -> tuple:
+    """Device-side snapshot: ({dtype: (1-D buffer, leaf idxs)}, treedef,
+    specs).
+
+    Dispatches one packing op per leaf dtype (safe against the train
+    step's donate_argnums: it is enqueued before the next step, and the
+    TPU executes in enqueue order) and fires each buffer's D2H copy
+    asynchronously — a handful of transfers regardless of leaf count.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    specs = [(tuple(x.shape), np.dtype(x.dtype)) for x in leaves]
+    groups: dict = {}
+    for i, x in enumerate(leaves):
+        groups.setdefault(np.dtype(x.dtype), []).append(i)
+    packed = {}
+    for dt, idxs in groups.items():
+        buf = _concat_group([leaves[i] for i in idxs])
+        if hasattr(buf, "copy_to_host_async"):
+            buf.copy_to_host_async()
+        packed[dt] = (buf, idxs)
+    return packed, treedef, specs
+
+
+def unpack_state(packed, treedef, specs):
+    """Materialize a pack_state snapshot into a host pytree (numpy).
+
+    Per-leaf arrays are zero-copy views into each dtype group's host
+    buffer (bool leaves, stored as uint8, get one cast back).
+    """
+    out = [None] * len(specs)
+    for dt, (buf, idxs) in packed.items():
+        flat = np.asarray(buf)
+        off = 0
+        for i in idxs:
+            shape, dtype = specs[i]
+            n = int(np.prod(shape))
+            view = flat[off:off + n].reshape(shape)
+            out[i] = view.astype(np.bool_) if dtype == np.bool_ else view
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class CheckpointManager:
@@ -33,6 +96,46 @@ class CheckpointManager:
             best_mode=best_mode,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        # Single-worker pool serializes save_from_device snapshots so
+        # orbax never sees two concurrent save() calls.
+        self._io = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="ckpt-io")
+        self._pending: List[Future] = []
+
+    def _flush(self) -> None:
+        """Barrier on in-flight save_from_device fetches, re-raising any
+        background failure (a silently-dropped checkpoint must not look
+        like a saved one to latest_step/restore/close)."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
+    def save_from_device(self, step: int, state: TrainState,
+                         val_loss: Optional[float] = None) -> None:
+        """Snapshot device state and save WITHOUT blocking the train loop.
+
+        The naive `save(step, jax.device_get(state))` was measured at
+        20-232 s per epoch over the TPU tunnel (one round trip per leaf,
+        734 leaves). Here instead:
+
+        1. `pack_state` flattens the whole TrainState into one 1-D
+           buffer per dtype with jitted device ops (enqueued before the
+           next train step, so `donate_argnums=(0,)` buffer reuse
+           cannot clobber what we serialize) and fires their async D2H
+           copies — a handful of transfers at full tunnel bandwidth;
+        2. a background thread materializes the host buffer, unpacks it
+           into the original pytree (zero-copy views) and hands it to
+           the (already async) orbax save.
+
+        The train loop continues dispatching while all of that runs.
+        """
+        packed, treedef, specs = pack_state(state)
+
+        def _fetch_and_save():
+            host = unpack_state(packed, treedef, specs)
+            self.save(step, host, val_loss=val_loss)
+
+        self._pending.append(self._io.submit(_fetch_and_save))
 
     def save(self, step: int, state: TrainState,
              val_loss: Optional[float] = None) -> None:
@@ -50,10 +153,12 @@ class CheckpointManager:
                        metrics=metrics)
 
     def latest_step(self) -> Optional[int]:
+        self._flush()
         self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def best_step(self) -> Optional[int]:
+        self._flush()
         self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
@@ -61,6 +166,7 @@ class CheckpointManager:
                 step: Optional[int] = None) -> TrainState:
         """Restore into the structure of `state_template` (an abstract or
         concrete TrainState with the right shapes/dtypes)."""
+        self._flush()
         self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
@@ -83,6 +189,7 @@ class CheckpointManager:
         structure depends on the schedule/chain, so a full StandardRestore
         against a differently-built optimizer fails on structure mismatch.
         """
+        self._flush()
         self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
@@ -99,5 +206,7 @@ class CheckpointManager:
         )
 
     def close(self) -> None:
+        self._flush()
+        self._io.shutdown(wait=True)
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -25,6 +25,31 @@ from typing import Iterator, Optional
 import jax
 
 
+def enable_persistent_compile_cache(directory: Optional[str] = None) -> None:
+    """Point XLA's persistent compilation cache at a local directory.
+
+    Every CLI entry point calls this before its first jit: the SSD train
+    step costs ~1-4 min to compile on the TPU (and the checkpoint
+    pack_state ops a few seconds more), but the compiled executables are
+    process-independent — a second run with the same jax/XLA version
+    loads them from disk in under a second (measured on the axon TPU
+    backend: 5.6 s compile -> 0.29 s warm). A key miss (version or flag
+    change) silently falls back to a cold compile, so this is pure
+    amortization with no correctness surface.
+
+    Resolution order: explicit arg > $JAX_COMPILATION_CACHE_DIR (jax
+    reads it natively; we leave it alone) > ~/.cache/tfssd_tpu/xla.
+    """
+    if directory is None:
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return  # jax already configured from the environment
+        directory = os.path.expanduser("~/.cache/tfssd_tpu/xla")
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str, host_tracer_level: int = 2) -> Iterator[None]:
     """Capture a jax.profiler device+host trace into `log_dir`."""

@@ -46,6 +46,7 @@ from tfssd_tpu.utils.io import (
     parse_data_root,
 )
 from tfssd_tpu.utils.metrics import MetricsLogger
+from tfssd_tpu.utils.profiling import enable_persistent_compile_cache
 
 
 def make_datasets(args, img_size: int):
@@ -120,6 +121,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
+    # Warm-start all jit compiles (train step ~1-4 min cold) from the
+    # persistent XLA cache; second runs compile in seconds.
+    enable_persistent_compile_cache()
     cfg = get_hyper_params(
         args.backbone,
         compute_dtype="bfloat16" if args.bf16 else "float32",
@@ -159,7 +163,8 @@ def main():
     # donate_argnums: the previous TrainState's buffers are consumed by
     # the update, so XLA reuses them for the new state in place — no
     # params+opt_state double-buffering in HBM. (Checkpointing is safe:
-    # ckpt.save receives a jax.device_get'd host copy.)
+    # save_from_device dispatches an on-device copy before the next
+    # step's donation can touch the buffers.)
     train_step = jax.jit(
         make_train_step(model, anchors, optimizer,
                         augment=not args.no_augment),
@@ -180,12 +185,24 @@ def main():
     total_images = 0
     train_start = None
 
+    def to_device(batches):
+        # Runs inside the prefetch producer thread: jax.device_put there
+        # (not in the step loop) so H2D transfers overlap device compute
+        # — a host-fed step was measured 238 ms vs 36 ms device-resident
+        # before this moved off the critical path.
+        for b in batches:
+            yield (shard_batch(mesh, {
+                "image": b["image"],
+                "boxes": b["boxes"],
+                "labels": b["labels"],
+            }), b["num_valid"])
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
-        it = prefetch(batch_examples(
+        it = prefetch(to_device(batch_examples(
             train_ds, args.batch_size, cfg.max_gt_boxes,
             shuffle_seed=args.seed * 10_000 + epoch,
-            workers=args.workers), depth=args.prefetch_depth)
+            workers=args.workers)), depth=args.prefetch_depth)
         epoch_metrics = []
         profiling = args.profile and epoch == start_epoch
         if profiling:
@@ -193,14 +210,9 @@ def main():
             trace_cm = prof.trace(log_path)
             trace_cm.__enter__()
         epoch_t0 = time.perf_counter()
-        for step_in_epoch, batch in enumerate(it):
+        for step_in_epoch, (device_batch, _) in enumerate(it):
             if step_in_epoch >= steps_per_epoch:
                 break
-            device_batch = shard_batch(mesh, {
-                "image": batch["image"],
-                "boxes": batch["boxes"],
-                "labels": batch["labels"],
-            })
             state, metrics = train_step(state, device_batch, rng)
             # Steps dispatch asynchronously; only sync metrics to host at
             # the logging cadence (each float() is a device round trip).
@@ -226,20 +238,23 @@ def main():
         # batch and bias best-checkpoint selection.
         last_epoch = epoch == args.epochs - 1
         if (epoch + 1) % args.val_every == 0 or last_epoch:
-            val_total, val_count = 0.0, 0
-            for vb, batch in enumerate(batch_examples(
-                    val_ds, args.batch_size, cfg.max_gt_boxes,
-                    drop_remainder=False)):
+            # Dispatch EVERY eval step before syncing any loss to host:
+            # each float() is a device round trip, and syncing per batch
+            # serialized transfer behind compute.
+            val_losses, val_count = [], 0
+            for vb, (device_batch, num_valid) in enumerate(prefetch(
+                    to_device(batch_examples(
+                        val_ds, args.batch_size, cfg.max_gt_boxes,
+                        drop_remainder=False)),
+                    depth=args.prefetch_depth)):
                 if args.val_limit is not None and vb >= args.val_limit:
                     break
-                device_batch = shard_batch(mesh, {
-                    "image": batch["image"],
-                    "boxes": batch["boxes"],
-                    "labels": batch["labels"],
-                })
-                batch_mean = float(eval_step(state, device_batch)["loss"])
-                val_total += batch_mean * args.batch_size  # real-row sum
-                val_count += batch["num_valid"]
+                val_losses.append(eval_step(state, device_batch)["loss"])
+                val_count += num_valid
+            # real-row sum: padded rows contribute zero loss
+            val_total = sum(
+                float(x) * args.batch_size
+                for x in jax.device_get(val_losses))
             val_loss = val_total / val_count if val_count else float("inf")
             tr = float(np.mean([m["loss"] for m in epoch_metrics])) \
                 if epoch_metrics else float("nan")
@@ -248,11 +263,12 @@ def main():
                   f"lr={float(schedule(int(state.step))):.2e}")
             log.log(int(state.step), {"val_loss": val_loss, "epoch": epoch})
             if (epoch + 1) % args.ckpt_every == 0 or last_epoch:
-                # async save: jax.device_get snapshots to host numpy
-                # first, so the background write races with nothing (the
-                # device buffers are donated to the next step).
-                ckpt.save(int(state.step), jax.device_get(state),
-                          val_loss=val_loss)
+                # Fully async: on-device copy + pipelined D2H + orbax in
+                # a background thread. The synchronous device_get here
+                # was measured at ~20 s/epoch over the TPU tunnel — the
+                # single largest end-to-end train overhead.
+                ckpt.save_from_device(int(state.step), state,
+                                      val_loss=val_loss)
         # End-to-end clock starts after the FIRST full epoch iteration
         # (train + val + ckpt), so the one-time jit compiles of the train
         # AND eval steps are excluded and every timed epoch carries the
