@@ -334,3 +334,26 @@ def test_prefetch_early_exit_stops_producer():
     _time.sleep(0.3)
     assert _threading.active_count() <= before + 1
     assert len(produced) < 100  # producer did not run to completion
+
+
+def test_stack_batches_shapes_and_remainder():
+    # trainer.py's --steps-per-call feed: k batches stack into a leading
+    # scan axis; a trailing partial group is dropped (the trainer floors
+    # steps_per_epoch to a multiple of k).
+    from tfssd_tpu.data import SyntheticDataset, batch_examples, stack_batches
+
+    ds = SyntheticDataset(7 * 4, image_size=64, seed=3)
+    supers = list(stack_batches(
+        batch_examples(ds, 4, 8, workers=1), k=3))
+    assert len(supers) == 2  # 7 batches -> 2 full groups of 3, 1 dropped
+    s = supers[0]
+    assert s["image"].shape == (3, 4, 64, 64, 3)
+    assert s["boxes"].shape == (3, 4, 8, 4)
+    assert s["labels"].shape == (3, 4, 8)
+    assert s["num_valid"] == 12
+    assert len(s["ids"]) == 12
+    # slices must equal the original batches, in order
+    again = list(batch_examples(ds, 4, 8, workers=1))
+    np.testing.assert_array_equal(s["image"][1], again[1]["image"])
+    np.testing.assert_array_equal(supers[1]["labels"][2],
+                                  again[5]["labels"])

@@ -85,6 +85,106 @@ def test_train_step_decreases_loss_and_updates_state():
 
 
 @pytest.mark.slow
+def test_multi_step_matches_sequential_single_steps():
+    # trainer.py's --steps-per-call path: one lax.scan dispatch of K
+    # optimizer steps must reproduce K separate single-step dispatches
+    # (same LR schedule positions, same per-step fold_in(rng, step)
+    # augmentation draws), or fusing steps silently changes training.
+    from tfssd_tpu.train import make_multi_train_step
+
+    cfg, model, anchors, opt, state, step, batch = _tiny_setup(
+        batch_size=4, augment=True)
+    K = 3
+    rng = jax.random.key(5)
+    rng_np = np.random.default_rng(3)
+    batches = []
+    for i in range(K):
+        b = dict(batch)
+        b["image"] = jnp.asarray(
+            rng_np.integers(0, 255, batch["image"].shape, np.uint8))
+        batches.append(b)
+    superbatch = {k: jnp.stack([b[k] for b in batches]) for k in batch}
+
+    jstep = jax.jit(step)
+    s_seq = state
+    seq_losses = []
+    for b in batches:
+        s_seq, m = jstep(s_seq, b, rng)
+        seq_losses.append(float(m["loss"]))
+
+    multi = jax.jit(make_multi_train_step(model, anchors, opt,
+                                          augment=True))
+    s_multi, ms = multi(state, superbatch, rng)
+
+    assert int(s_multi.step) == int(s_seq.step) == K
+    # Tolerances: the scan body and the standalone step are separate XLA
+    # compilations, so float reduction orders differ; through Adam on the
+    # steep early-loss surface that legitimate noise amplifies to ~0.2%
+    # by step 2 (step 0 matches exactly). Real bugs (wrong rng slice,
+    # batch order, skipped update) move losses by whole units.
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"]), np.asarray(seq_losses), rtol=1e-2)
+    assert abs(float(ms["loss"][0]) - seq_losses[0]) < 1e-4
+    # Params: Adam's early updates are ~±lr (1e-3) per step regardless of
+    # gradient magnitude, so a near-zero gradient whose SIGN flips under
+    # a different reduction order moves a param by up to 2·lr per step —
+    # bound the drift in lr quanta, not relative terms.
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=K * 2.5e-3)
+
+
+@pytest.mark.slow
+def test_cached_step_matches_streamed_step():
+    # trainer.py's --device-cache path: a step fed by on-device gather
+    # from the resident dataset must reproduce the step fed the same
+    # batch directly; likewise for eval. Run on the 8-device virtual
+    # mesh so the sharded-data gather path compiles and executes.
+    from tfssd_tpu.data import stage_arrays
+    from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
+    from tfssd_tpu.train import (
+        make_cached_eval_step,
+        make_cached_train_step,
+        make_eval_step,
+    )
+
+    cfg, model, anchors, opt, state, step, batch = _tiny_setup(
+        batch_size=8, augment=True)
+    ds = SyntheticDataset(num_examples=24, image_size=96, max_objects=2,
+                          seed=7, num_classes=5)
+    data_host, n = stage_arrays(ds, cfg.max_gt_boxes, workers=2)
+    assert n == 24
+    mesh = get_mesh()
+    state = replicate(mesh, state)
+    data = shard_batch(mesh, data_host)
+    rng = jax.random.key(9)
+    idx = np.asarray([3, 17, 5, 0, 23, 9, 11, 2], np.int32)
+
+    direct_batch = shard_batch(mesh, {
+        k: data_host[k][idx] for k in ("image", "boxes", "labels")})
+    s_direct, m_direct = jax.jit(step)(state, direct_batch, rng)
+    cached = jax.jit(make_cached_train_step(model, anchors, opt,
+                                            augment=True))
+    s_cached, m_cached = cached(state, data, jnp.asarray(idx), rng)
+    np.testing.assert_allclose(float(m_cached["loss"]),
+                               float(m_direct["loss"]), rtol=1e-4)
+    # ±2·lr slack: Adam's first update is ±lr, and a near-zero gradient
+    # can flip sign between the two compilations (see the multi-step
+    # test). The tight loss match above is the semantic check.
+    a = jax.tree_util.tree_leaves(s_direct.params)[0]
+    b = jax.tree_util.tree_leaves(s_cached.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=2.5e-3)
+
+    ev = jax.jit(make_eval_step(model, anchors))(state, direct_batch)
+    evc = jax.jit(make_cached_eval_step(model, anchors))(
+        state, data, jnp.asarray(idx))
+    np.testing.assert_allclose(float(evc["loss"]), float(ev["loss"]),
+                               rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_overfit_tiny_synthetic():
     # SURVEY.md §4 item 5: overfitting a few images approaches ~0 loss.
     _, _, _, _, state, step, batch = _tiny_setup()

@@ -11,6 +11,8 @@ from tfssd_tpu.data.loader import (  # noqa: F401
     batch_examples,
     pad_gt,
     prefetch,
+    stack_batches,
+    stage_arrays,
 )
 from tfssd_tpu.data.synthetic import SyntheticDataset  # noqa: F401
 from tfssd_tpu.data.voc import (  # noqa: F401

@@ -155,6 +155,51 @@ def _collate(examples, max_gt: int, pad_to: Optional[int] = None):
             "difficult": difficult, "ids": ids, "num_valid": n}
 
 
+def stage_arrays(dataset, max_gt: int, *, workers: int = 8,
+                 pad_to_multiple: Optional[int] = None):
+    """Decode the WHOLE dataset into contiguous host arrays once:
+    ({'image' (N,S,S,3) uint8, 'boxes' (N,G,4), 'labels' (N,G)}, n_real).
+
+    Feed for the device-resident data path (train.make_cached_train_step):
+    the caller ships these to HBM in one transfer per key and gathers
+    batches on device. `pad_to_multiple` appends all-zero rows (label 0,
+    zero loss) so N divides the batch size for static-shape eval slicing;
+    n_real is the row count before padding."""
+    n = len(dataset)
+    total = n
+    if pad_to_multiple:
+        total = -(-n // pad_to_multiple) * pad_to_multiple
+    first = dataset.example(0)
+    s = first["image"].shape[0]
+    images = np.zeros((total, s, s, 3), first["image"].dtype)
+    boxes = np.zeros((total, max_gt, 4), np.float32)
+    labels = np.zeros((total, max_gt), np.int32)
+    it = (_parallel_examples(dataset, np.arange(n), workers)
+          if workers > 1 else (dataset.example(i) for i in range(n)))
+    for i, ex in enumerate(it):
+        images[i] = ex["image"]
+        boxes[i], labels[i] = pad_gt(ex["boxes"], ex["labels"], max_gt)
+    return {"image": images, "boxes": boxes, "labels": labels}, n
+
+
+def stack_batches(batches: Iterable[Dict], k: int) -> Iterator[Dict]:
+    """Stack k consecutive batches into super-batches for
+    `train.make_multi_train_step`: array values gain a leading (k,) scan
+    axis, `num_valid` becomes the real-image sum, `ids` the concatenated
+    list. A trailing group smaller than k is dropped (the trainer floors
+    steps_per_epoch to a multiple of k, mirroring drop_remainder)."""
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            out = {key: np.stack([c[key] for c in buf])
+                   for key in ("image", "boxes", "labels", "difficult")}
+            out["ids"] = [i for c in buf for i in c["ids"]]
+            out["num_valid"] = sum(c["num_valid"] for c in buf)
+            yield out
+            buf = []
+
+
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch so host batching overlaps device steps
     (the tf.data threadpool's job in the reference).

@@ -12,5 +12,6 @@ from tfssd_tpu.parallel.mesh import (  # noqa: F401
     replicate_sharding,
     batch_sharding,
     shard_batch,
+    superbatch_sharding,
     replicate,
 )

@@ -38,10 +38,21 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def superbatch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (steps, batch, ...) stacked super-batches: the scan
+    axis (dim 0) stays whole on every device, the batch axis (dim 1)
+    splits over the data axis — each lax.scan iteration then sees a
+    normally data-sharded batch."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: Any,
+                sharding: Optional[NamedSharding] = None) -> Any:
     """Place a host batch (dict/pytree of arrays) sharded over the data
-    axis. Non-array leaves (id lists, counts) pass through untouched."""
-    sharding = batch_sharding(mesh)
+    axis (or an explicit `sharding`, e.g. superbatch_sharding). Non-array
+    leaves (id lists, counts) pass through untouched."""
+    if sharding is None:
+        sharding = batch_sharding(mesh)
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:

@@ -176,6 +176,110 @@ def make_train_step(model: SSD, anchors: Array,
     return train_step
 
 
+def make_multi_train_step(model: SSD, anchors: Array,
+                          optimizer: optax.GradientTransformation,
+                          augment: bool = True):
+    """K sequential optimizer steps per dispatch via lax.scan.
+
+    Takes a SUPER-batch {'image' (K,B,S,S,3), 'boxes' (K,B,G,4),
+    'labels' (K,B,G)} and applies the single-step semantics K times —
+    bit-for-bit the same math as K separate `make_train_step` calls
+    (state.step advances per slice, so the LR schedule and the
+    per-step augmentation rng `fold_in(rng, step)` are identical).
+
+    Why it exists: dispatching one step per host call leaves the device
+    idle for the host round-trip between every step. Measured on the TPU
+    serving tunnel: back-to-back dispatches over pre-staged batches run
+    34 ms/step, but the same loop with an H2D put interleaved between
+    dispatches collapses to ~240 ms/step. One scan dispatch per K steps
+    amortizes that put/dispatch cycle K-fold; metrics come back stacked
+    (K,) per entry.
+
+    Multi-chip: shard the super-batch with
+    `parallel.superbatch_sharding` — scan axis whole, batch axis split
+    over "data" — and every scan iteration runs the normal data-parallel
+    step (gradient psum inserted by XLA).
+    """
+    base = make_train_step(model, anchors, optimizer, augment=augment)
+
+    def multi_step(state: TrainState, superbatch: Dict[str, Array],
+                   rng: jax.Array):
+        def body(st, batch_k):
+            return base(st, batch_k, rng)
+
+        return jax.lax.scan(body, state, superbatch)
+
+    return multi_step
+
+
+def _gather_rows(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
+    return {k: jnp.take(data[k], idx, axis=0)
+            for k in ("image", "boxes", "labels")}
+
+
+def make_cached_train_step(model: SSD, anchors: Array,
+                           optimizer: optax.GradientTransformation,
+                           augment: bool = True):
+    """Train step fed from a DEVICE-RESIDENT dataset: (state, data, idx,
+    rng) -> (state, metrics).
+
+    `data` = {'image' (N,S,S,3) uint8, 'boxes' (N,G,4), 'labels' (N,G)}
+    staged in HBM once; `idx` (B,) int32 selects this step's rows and the
+    batch is gathered ON DEVICE. The host then ships 4·B bytes per step
+    instead of ~270 KB per image — the TPU-native analog of the
+    reference's `tf.data.Dataset.cache()` (data_utils.get_dataset), but
+    cached past the H2D boundary. Measured motivation: the serving
+    tunnel's H2D bandwidth is 50-450 MB/s and cannot overlap dispatches
+    (streamed loop: 240-470 ms/step), while the same loop over resident
+    data runs 34 ms/step. Raw pixels are cached, not augmented ones:
+    augmentation runs inside the step, so every epoch still draws fresh
+    random crops/flips/photometrics.
+
+    Epoch shuffling is the caller's global permutation of [0, N) — a
+    TRUE uniform shuffle (the reference's shuffle(8000) over ~16.5k
+    examples is only approximate).
+    """
+    base = make_train_step(model, anchors, optimizer, augment=augment)
+
+    def cached_step(state: TrainState, data: Dict[str, Array],
+                    idx: Array, rng: jax.Array):
+        return base(state, _gather_rows(data, idx), rng)
+
+    return cached_step
+
+
+def make_cached_multi_train_step(model: SSD, anchors: Array,
+                                 optimizer: optax.GradientTransformation,
+                                 augment: bool = True):
+    """K steps per dispatch over device-resident data: idx is (K, B);
+    each scan iteration gathers its own batch on device. Combines the
+    dispatch amortization of make_multi_train_step with the resident-data
+    feed of make_cached_train_step."""
+    base = make_train_step(model, anchors, optimizer, augment=augment)
+
+    def multi_step(state: TrainState, data: Dict[str, Array],
+                   idx: Array, rng: jax.Array):
+        def body(st, idx_k):
+            return base(st, _gather_rows(data, idx_k), rng)
+
+        return jax.lax.scan(body, state, idx)
+
+    return multi_step
+
+
+def make_cached_eval_step(model: SSD, anchors: Array):
+    """Eval step over device-resident validation data: (state, data,
+    idx) -> metrics, gathering the batch on device like
+    make_cached_train_step."""
+    base = make_eval_step(model, anchors)
+
+    def cached_eval(state: TrainState, data: Dict[str, Array],
+                    idx: Array):
+        return base(state, _gather_rows(data, idx))
+
+    return cached_eval
+
+
 def make_eval_step(model: SSD, anchors: Array):
     """Validation loss step (no augmentation, running BN stats)."""
     cfg = model.config

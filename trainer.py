@@ -26,6 +26,8 @@ from tfssd_tpu.data import (
     VOCDataset,
     batch_examples,
     prefetch,
+    stack_batches,
+    stage_arrays,
 )
 from tfssd_tpu.models import get_model
 from tfssd_tpu.ops.boxes import generate_anchors
@@ -111,6 +113,21 @@ def main():
     parser.add_argument("--val-limit", type=int, default=None,
                         help="cap validation at N batches per pass "
                              "(default: the full val set)")
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="optimizer steps fused into one device "
+                             "dispatch (lax.scan over the step). "
+                             "Semantics are identical to 1; >1 "
+                             "amortizes per-dispatch host latency. "
+                             "steps_per_epoch is floored to a multiple")
+    parser.add_argument("--device-cache", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="stage the decoded dataset in device HBM "
+                             "once and gather batches on device (the "
+                             "tf.data cache() analog, cached past the "
+                             "H2D boundary). auto = on when the data "
+                             "fits in ~6 GB. Streamed feeding over the "
+                             "TPU tunnel runs 240-470 ms/step; resident "
+                             "data runs the same loop at 34 ms/step")
     parser.add_argument("--prefetch-depth", type=int, default=4,
                         help="host batches buffered ahead of the device")
     parser.add_argument("--workers", type=int, default=8,
@@ -142,6 +159,11 @@ def main():
     # steps, drifting resume-epoch math and the LR boundary epochs.
     steps_per_epoch = args.steps_per_epoch or max(
         len(train_ds) // args.batch_size, 1)
+    spc = max(1, min(args.steps_per_call, steps_per_epoch))
+    if steps_per_epoch % spc:
+        steps_per_epoch -= steps_per_epoch % spc
+        print(f"steps_per_epoch floored to {steps_per_epoch} "
+              f"(multiple of --steps-per-call {spc})")
 
     model = get_model(cfg)
     anchors = generate_anchors(cfg)
@@ -165,11 +187,45 @@ def main():
     # params+opt_state double-buffering in HBM. (Checkpointing is safe:
     # save_from_device dispatches an on-device copy before the next
     # step's donation can touch the buffers.)
-    train_step = jax.jit(
-        make_train_step(model, anchors, optimizer,
-                        augment=not args.no_augment),
-        donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(model, anchors))
+    est_bytes = (len(train_ds) + len(val_ds)) * cfg.img_size ** 2 * 3
+    device_cache = (args.device_cache == "on" or
+                    (args.device_cache == "auto" and est_bytes <= 6e9))
+    if args.device_cache == "auto" and not device_cache:
+        print(f"device cache off: dataset ~{est_bytes/1e9:.1f} GB "
+              f"exceeds the 6 GB auto threshold (--device-cache on to "
+              f"force)")
+    if device_cache:
+        from tfssd_tpu.train import (
+            make_cached_eval_step,
+            make_cached_multi_train_step,
+            make_cached_train_step,
+        )
+
+        factory = (make_cached_multi_train_step if spc > 1
+                   else make_cached_train_step)
+        train_step = jax.jit(
+            factory(model, anchors, optimizer,
+                    augment=not args.no_augment),
+            donate_argnums=(0,))
+        eval_step = jax.jit(make_cached_eval_step(model, anchors))
+        train_sharding = None
+    elif spc > 1:
+        from tfssd_tpu.parallel import superbatch_sharding
+        from tfssd_tpu.train import make_multi_train_step
+
+        train_step = jax.jit(
+            make_multi_train_step(model, anchors, optimizer,
+                                  augment=not args.no_augment),
+            donate_argnums=(0,))
+        eval_step = jax.jit(make_eval_step(model, anchors))
+        train_sharding = superbatch_sharding(mesh)
+    else:
+        train_step = jax.jit(
+            make_train_step(model, anchors, optimizer,
+                            augment=not args.no_augment),
+            donate_argnums=(0,))
+        eval_step = jax.jit(make_eval_step(model, anchors))
+        train_sharding = None
 
     ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
     if args.resume and ckpt.latest_step() is not None:
@@ -185,24 +241,57 @@ def main():
     total_images = 0
     train_start = None
 
-    def to_device(batches):
+    def to_device(batches, sharding=None):
         # Runs inside the prefetch producer thread: jax.device_put there
-        # (not in the step loop) so H2D transfers overlap device compute
-        # — a host-fed step was measured 238 ms vs 36 ms device-resident
-        # before this moved off the critical path.
+        # (not in the step loop) so H2D transfers overlap whatever the
+        # runtime allows. (The real fix for the put/dispatch interleave
+        # penalty is --steps-per-call; this keeps host batching off the
+        # critical path either way.)
         for b in batches:
             yield (shard_batch(mesh, {
                 "image": b["image"],
                 "boxes": b["boxes"],
                 "labels": b["labels"],
-            }), b["num_valid"])
+            }, sharding=sharding), b["num_valid"])
+
+    train_data = val_data = None
+    train_n = val_n = 0
+    if device_cache:
+        # Stage the decoded datasets in HBM once (one transfer per key);
+        # epochs then ship only 4·B-byte index rows per step. Raw pixels
+        # are cached — augmentation still runs per step inside the jit.
+        t0 = time.perf_counter()
+        host_train, train_n = stage_arrays(
+            train_ds, cfg.max_gt_boxes, workers=args.workers)
+        train_data = shard_batch(mesh, host_train)
+        host_val, val_n = stage_arrays(
+            val_ds, cfg.max_gt_boxes, workers=args.workers,
+            pad_to_multiple=args.batch_size)
+        val_data = shard_batch(mesh, host_val)
+        jax.block_until_ready(
+            (train_data["image"], val_data["image"]))
+        del host_train, host_val
+        gb = (train_n + val_n) * cfg.img_size ** 2 * 3 / 1e9
+        print(f"device cache: staged {train_n}+{val_n} images "
+              f"(~{gb:.2f} GB) in {time.perf_counter()-t0:.1f}s")
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
-        it = prefetch(to_device(batch_examples(
-            train_ds, args.batch_size, cfg.max_gt_boxes,
-            shuffle_seed=args.seed * 10_000 + epoch,
-            workers=args.workers)), depth=args.prefetch_depth)
+        if device_cache:
+            perm = np.random.default_rng(
+                args.seed * 10_000 + epoch).permutation(train_n)
+            idx_epoch = perm[:steps_per_epoch * args.batch_size].astype(
+                np.int32)
+            it = None
+        else:
+            batches = batch_examples(
+                train_ds, args.batch_size, cfg.max_gt_boxes,
+                shuffle_seed=args.seed * 10_000 + epoch,
+                workers=args.workers)
+            if spc > 1:
+                batches = stack_batches(batches, spc)
+            it = prefetch(to_device(batches, sharding=train_sharding),
+                          depth=args.prefetch_depth)
         epoch_metrics = []
         profiling = args.profile and epoch == start_epoch
         if profiling:
@@ -210,14 +299,29 @@ def main():
             trace_cm = prof.trace(log_path)
             trace_cm.__enter__()
         epoch_t0 = time.perf_counter()
-        for step_in_epoch, (device_batch, _) in enumerate(it):
-            if step_in_epoch >= steps_per_epoch:
-                break
-            state, metrics = train_step(state, device_batch, rng)
+        for chunk_idx in range(steps_per_epoch // spc):
+            step_in_epoch = chunk_idx * spc
+            if device_cache:
+                rows = idx_epoch[step_in_epoch * args.batch_size:
+                                 (step_in_epoch + spc) * args.batch_size]
+                rows = rows.reshape(spc, args.batch_size)
+                idx_dev = jax.numpy.asarray(
+                    rows if spc > 1 else rows[0])
+                state, metrics = train_step(state, train_data, idx_dev,
+                                            rng)
+            else:
+                try:
+                    device_batch, _ = next(it)
+                except StopIteration:
+                    break
+                state, metrics = train_step(state, device_batch, rng)
             # Steps dispatch asynchronously; only sync metrics to host at
             # the logging cadence (each float() is a device round trip).
-            if step_in_epoch % args.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+            # Multi-step dispatches return metrics stacked (spc,); log
+            # the last step of the chunk that crosses the cadence.
+            if step_in_epoch % args.log_every < spc:
+                m = {k: float(v[-1] if spc > 1 else v)
+                     for k, v in metrics.items()}
                 epoch_metrics.append(m)
                 print(f"epoch {epoch} step {step_in_epoch}/{steps_per_epoch} "
                       f"loss={m['loss']:.4f} loc={m['loc_loss']:.4f} "
@@ -242,15 +346,30 @@ def main():
             # each float() is a device round trip, and syncing per batch
             # serialized transfer behind compute.
             val_losses, val_count = [], 0
-            for vb, (device_batch, num_valid) in enumerate(prefetch(
-                    to_device(batch_examples(
-                        val_ds, args.batch_size, cfg.max_gt_boxes,
-                        drop_remainder=False)),
-                    depth=args.prefetch_depth)):
-                if args.val_limit is not None and vb >= args.val_limit:
-                    break
-                val_losses.append(eval_step(state, device_batch)["loss"])
-                val_count += num_valid
+            if device_cache:
+                n_batches = val_data["image"].shape[0] // args.batch_size
+                if args.val_limit is not None:
+                    n_batches = min(n_batches, args.val_limit)
+                for vb in range(n_batches):
+                    idx = jax.numpy.arange(
+                        vb * args.batch_size, (vb + 1) * args.batch_size,
+                        dtype=jax.numpy.int32)
+                    val_losses.append(
+                        eval_step(state, val_data, idx)["loss"])
+                    val_count += max(
+                        0, min(val_n - vb * args.batch_size,
+                               args.batch_size))
+            else:
+                for vb, (device_batch, num_valid) in enumerate(prefetch(
+                        to_device(batch_examples(
+                            val_ds, args.batch_size, cfg.max_gt_boxes,
+                            drop_remainder=False)),
+                        depth=args.prefetch_depth)):
+                    if args.val_limit is not None and vb >= args.val_limit:
+                        break
+                    val_losses.append(
+                        eval_step(state, device_batch)["loss"])
+                    val_count += num_valid
             # real-row sum: padded rows contribute zero loss
             val_total = sum(
                 float(x) * args.batch_size
@@ -286,8 +405,10 @@ def main():
             "metric": f"train_{short}_e2e_images_per_sec",
             "value": round(e2e, 2), "unit": "images/sec",
             "config": f"trainer.py end-to-end, batch {args.batch_size}, "
-                      f"val-every {args.val_every}, incl. data loading + "
-                      f"validation + checkpointing (post-compile)"}))
+                      f"val-every {args.val_every}, "
+                      f"{'device-cached data' if device_cache else 'streamed data'}"
+                      f", incl. validation + checkpointing (post-compile; "
+                      f"data staging/decoding in epoch 0)"}))
     ckpt.close()
     log.close()
 
