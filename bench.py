@@ -251,6 +251,7 @@ def main():
                  "--backbone", "mobilenet_v2", "--bf16",
                  "--batch-size", "64", "--epochs", "4",
                  "--synthetic-size", "2560",
+                 "--steps-per-call", "8",
                  "--model-dir", os.path.join(td, "ckpt"),
                  "--log-dir", os.path.join(td, "logs")],
                 capture_output=True, text=True,

@@ -407,7 +407,8 @@ def main():
             "config": f"trainer.py end-to-end, batch {args.batch_size}, "
                       f"val-every {args.val_every}, "
                       f"{'device-cached data' if device_cache else 'streamed data'}"
-                      f", incl. validation + checkpointing (post-compile; "
+                      + (f", steps-per-call {spc}" if spc > 1 else "")
+                      + f", incl. validation + checkpointing (post-compile; "
                       f"data staging/decoding in epoch 0)"}))
     ckpt.close()
     log.close()
