@@ -53,6 +53,12 @@ def main():
                         help="parallel host decode threads")
     parser.add_argument("--random-weights", action="store_true",
                         help="skip checkpoint loading (smoke testing)")
+    parser.add_argument("--device-cache", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="stage the eval split in device HBM once "
+                             "and gather batches on device (same design "
+                             "as trainer.py --device-cache); streamed "
+                             "feeding over the TPU tunnel is H2D-bound")
     parser.add_argument("--port-h5", default=None,
                         help="Keras h5/.keras model whose trunk weights "
                              "are ported into the backbone (reference "
@@ -134,6 +140,77 @@ def main():
     labels = get_labels()
     os.makedirs(args.output_dir, exist_ok=True)
     gts, dets, drawn, seen = [], [], 0, 0
+
+    use_cache = (not args.image_dir and args.device_cache != "off" and
+                 (args.device_cache == "on" or
+                  len(dataset) * cfg.img_size ** 2 * 3 <= 6e9))
+    if use_cache:
+        # Device-resident eval (trainer.py --device-cache's design): the
+        # split is decoded once, shipped to HBM in one transfer, and each
+        # batch is gathered + preprocessed inside the jitted predict.
+        # Streamed feeding over the TPU tunnel is H2D-bound at 50-450
+        # MB/s; the resident loop runs at device speed.
+        import time
+
+        from tfssd_tpu.data import stage_arrays
+
+        jnp = jax.numpy
+        host, n_real = stage_arrays(
+            dataset, cfg.max_gt_boxes, workers=args.workers,
+            pad_to_multiple=args.batch_size)
+        data = shard_batch(mesh, {"image": host["image"]})
+
+        def _predict_cached(v, d, idx):
+            return predict(v, preprocess_images(
+                jnp.take(d["image"], idx, axis=0)))
+
+        predict_cached = jax.jit(_predict_cached)
+        limit_n = min(n_real, args.limit) if args.limit else n_real
+        bsz = args.batch_size
+        n_batches = -(-limit_n // bsz)
+        # warmup: first dispatch pays the jit compile; keep it out of
+        # the throughput window (its result is reused as batch 0)
+        warm = predict_cached(
+            variables, data, jnp.arange(bsz, dtype=jnp.int32))
+        jax.block_until_ready(warm.scores)
+        results = [warm]
+        t0 = time.perf_counter()
+        for b in range(1, n_batches):
+            idx = jnp.arange(b * bsz, (b + 1) * bsz, dtype=jnp.int32)
+            results.append(predict_cached(variables, data, idx))
+        jax.block_until_ready([r.scores for r in results])
+        dt = time.perf_counter() - t0
+        if n_batches > 1:
+            print(f"inference: {(n_batches - 1) * bsz / dt:.1f} img/s "
+                  f"(device-cached, batch={bsz}, {n_batches} batches)")
+        for b, res in enumerate(results):
+            nv = min(bsz, limit_n - b * bsz)
+            dets.extend(detections_from_nms_result(res, num_valid=nv))
+            for i in range(nv):
+                row = b * bsz + i
+                gts.append({
+                    "boxes": host["boxes"][row],
+                    "labels": host["labels"][row],
+                    "difficult": host["difficult"][row],
+                })
+                if drawn < args.draw:
+                    draw_predictions(
+                        host["image"][row],
+                        np.asarray(res.boxes[i]),
+                        np.asarray(res.scores[i]),
+                        np.asarray(res.classes[i]), labels,
+                        score_threshold=args.score_threshold,
+                        path=os.path.join(
+                            args.output_dir,
+                            os.path.splitext(host["ids"][row])[0]
+                            + ".png"))
+                    drawn += 1
+        if not args.no_eval:
+            evaluate_predictions(gts, dets,
+                                 num_classes=cfg.total_labels - 1,
+                                 class_names=labels)
+        return
+
     timer = StepTimer(skip=1)
     timer.start()
     for batch in prefetch(batch_examples(

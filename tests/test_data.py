@@ -357,3 +357,20 @@ def test_stack_batches_shapes_and_remainder():
     np.testing.assert_array_equal(s["image"][1], again[1]["image"])
     np.testing.assert_array_equal(supers[1]["labels"][2],
                                   again[5]["labels"])
+
+
+def test_stage_arrays_pads_and_keeps_metadata():
+    from tfssd_tpu.data import SyntheticDataset, stage_arrays
+
+    ds = SyntheticDataset(10, image_size=64, seed=1)
+    host, n = stage_arrays(ds, 8, workers=2, pad_to_multiple=4)
+    assert n == 10
+    assert host["image"].shape == (12, 64, 64, 3)  # padded to 4-multiple
+    assert host["boxes"].shape == (12, 8, 4)
+    assert host["difficult"].shape == (12, 8)
+    assert len(host["ids"]) == 10
+    # padded rows are all-zero / label 0 (background): zero loss, no gts
+    assert host["labels"][10:].sum() == 0 and host["image"][10:].sum() == 0
+    # rows match direct example access
+    ex = ds.example(7)
+    np.testing.assert_array_equal(host["image"][7], ex["image"])

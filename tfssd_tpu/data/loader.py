@@ -174,12 +174,20 @@ def stage_arrays(dataset, max_gt: int, *, workers: int = 8,
     images = np.zeros((total, s, s, 3), first["image"].dtype)
     boxes = np.zeros((total, max_gt, 4), np.float32)
     labels = np.zeros((total, max_gt), np.int32)
+    difficult = np.zeros((total, max_gt), bool)
+    ids = []
     it = (_parallel_examples(dataset, np.arange(n), workers)
           if workers > 1 else (dataset.example(i) for i in range(n)))
     for i, ex in enumerate(it):
         images[i] = ex["image"]
         boxes[i], labels[i] = pad_gt(ex["boxes"], ex["labels"], max_gt)
-    return {"image": images, "boxes": boxes, "labels": labels}, n
+        d = np.asarray(ex.get("difficult",
+                              np.zeros(len(ex["labels"]), bool)))
+        g = min(len(d), max_gt)
+        difficult[i, :g] = d[:g]
+        ids.append(ex.get("id", str(i)))
+    return {"image": images, "boxes": boxes, "labels": labels,
+            "difficult": difficult, "ids": ids}, n
 
 
 def stack_batches(batches: Iterable[Dict], k: int) -> Iterator[Dict]:

@@ -263,11 +263,13 @@ def main():
         t0 = time.perf_counter()
         host_train, train_n = stage_arrays(
             train_ds, cfg.max_gt_boxes, workers=args.workers)
-        train_data = shard_batch(mesh, host_train)
+        train_data = shard_batch(mesh, {
+            k: host_train[k] for k in ("image", "boxes", "labels")})
         host_val, val_n = stage_arrays(
             val_ds, cfg.max_gt_boxes, workers=args.workers,
             pad_to_multiple=args.batch_size)
-        val_data = shard_batch(mesh, host_val)
+        val_data = shard_batch(mesh, {
+            k: host_val[k] for k in ("image", "boxes", "labels")})
         jax.block_until_ready(
             (train_data["image"], val_data["image"]))
         del host_train, host_val
