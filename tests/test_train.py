@@ -157,7 +157,10 @@ def test_cached_step_matches_streamed_step():
     assert n == 24
     mesh = get_mesh()
     state = replicate(mesh, state)
-    data = shard_batch(mesh, data_host)
+    # ship only the array keys (trainer.py does the same): stage_arrays
+    # also returns host-side ids/difficult metadata that can't be jitted
+    data = shard_batch(mesh, {
+        k: data_host[k] for k in ("image", "boxes", "labels")})
     rng = jax.random.key(9)
     idx = np.asarray([3, 17, 5, 0, 23, 9, 11, 2], np.int32)
 
