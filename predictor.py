@@ -53,6 +53,16 @@ def main():
                         help="parallel host decode threads")
     parser.add_argument("--random-weights", action="store_true",
                         help="skip checkpoint loading (smoke testing)")
+    parser.add_argument("--export", default=None, metavar="PATH",
+                        help="serialize the full predict path (forward + "
+                             "decode + NMS, loaded weights baked in) as "
+                             "a versioned StableHLO artifact via "
+                             "jax.export, then exit. Serves on CPU or "
+                             "TPU with zero framework code "
+                             "(utils/export.py:load_exported)")
+    parser.add_argument("--export-batch", type=int, default=None,
+                        help="batch size baked into --export "
+                             "(default: --batch-size)")
     parser.add_argument("--device-cache", choices=("auto", "on", "off"),
                         default="auto",
                         help="stage the eval split in device HBM once "
@@ -117,6 +127,18 @@ def main():
         variables = port_h5_into_variables(
             variables, cfg.backbone, args.port_h5)
         print(f"ported trunk weights from {args.port_h5}")
+
+    if args.export:
+        from tfssd_tpu.utils.export import export_predict
+
+        blob = export_predict(model, anchors, cfg,
+                              jax.device_get(variables),
+                              args.export_batch or args.batch_size)
+        with open(args.export, "wb") as f:
+            f.write(blob)
+        print(f"exported predict (batch {args.export_batch or args.batch_size}, "
+              f"weights baked in) to {args.export}: {len(blob)/1e6:.1f} MB")
+        return
 
     if args.image_dir:
         dataset = list(custom_image_generator(

@@ -97,3 +97,41 @@ def test_remat_matches_no_remat():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_export_predict_roundtrip():
+    # predictor.py --export: the serialized StableHLO artifact must
+    # reproduce the live jitted predict bit-for-bit (same weights baked
+    # in, same platform) after a serialize/deserialize round trip.
+    from tfssd_tpu.utils.export import export_predict, load_exported
+
+    cfg = get_hyper_params(
+        "mobilenet_v2", img_size=96,
+        feature_map_shapes=(6, 3, 2, 1, 1, 1), total_labels=6,
+        max_gt_boxes=8)
+    model = get_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    anchors = generate_anchors(cfg)
+    predict = jax.jit(make_predict_fn(model, anchors, cfg))
+    imgs = jax.random.uniform(jax.random.key(3), (2, 96, 96, 3),
+                              minval=-1, maxval=1)
+
+    blob = export_predict(model, anchors, cfg, jax.device_get(variables),
+                          batch_size=2, platforms=("cpu",))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    serve = load_exported(blob)
+    got = serve(imgs)
+    want = predict(variables, imgs)
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.classes),
+                                  np.asarray(want.classes))
+    # boxes: with random weights every candidate scores ~1/num_classes,
+    # and ULP-level score differences between the two compilations of
+    # the same program can swap the rank of near-ties — allow a couple
+    # of swapped rows, require the rest to match tightly.
+    diff = np.abs(np.asarray(got.boxes) - np.asarray(want.boxes))
+    rows_off = (diff.max(axis=-1) > 1e-4).sum()
+    assert rows_off <= 0.02 * diff.shape[0] * diff.shape[1], rows_off
