@@ -143,6 +143,11 @@ def main():
     if args.image_dir:
         dataset = list(custom_image_generator(
             get_custom_imgs(args.image_dir), cfg.img_size))
+    elif args.dataset == "voc" and not args.data_root:
+        raise SystemExit(
+            "--dataset voc needs a --data-root VOCdevkit/VOC2007-style "
+            "directory (tfds is unavailable offline); pass --dataset "
+            "synthetic or --image-dir to run without VOC")
     elif args.dataset == "voc" and args.data_root:
         # --data-root is repeatable (ROOT[:SPLIT]); eval normally uses one
         # root (VOC07 test), but concatenation works here too.

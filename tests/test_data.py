@@ -374,3 +374,19 @@ def test_stage_arrays_pads_and_keeps_metadata():
     # rows match direct example access
     ex = ds.example(7)
     np.testing.assert_array_equal(host["image"][7], ex["image"])
+
+
+def test_make_datasets_voc_without_root_errors():
+    # --dataset voc (the default) with no --data-root must fail loudly
+    # instead of silently training on synthetic data.
+    import argparse
+
+    import pytest as _pytest
+
+    from trainer import make_datasets
+
+    args = argparse.Namespace(dataset="voc", data_root=None,
+                              train_split="trainval", val_split="val",
+                              synthetic_size=8)
+    with _pytest.raises(SystemExit, match="data-root"):
+        make_datasets(args, img_size=32)

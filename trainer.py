@@ -52,6 +52,11 @@ from tfssd_tpu.utils.profiling import enable_persistent_compile_cache
 
 
 def make_datasets(args, img_size: int):
+    if args.dataset == "voc" and not args.data_root:
+        raise SystemExit(
+            "--dataset voc needs at least one --data-root "
+            "VOCdevkit/VOC2007-style directory (tfds is unavailable "
+            "offline); pass --dataset synthetic to train without data")
     if args.dataset == "voc" and args.data_root:
         # Repeatable --data-root (ROOT[:SPLIT]) concatenates training
         # sets — the reference composes VOC07 train+validation with VOC12
