@@ -186,6 +186,21 @@ def test_cached_step_matches_streamed_step():
     np.testing.assert_allclose(float(evc["loss"]), float(ev["loss"]),
                                rtol=1e-5)
 
+    # trainer.py's one-dispatch validation pass: vmapped multi-eval over
+    # K index rows must equal K independent cached evals.
+    from tfssd_tpu.train import make_cached_multi_eval_step
+
+    idx2 = np.stack([idx, idx[::-1].copy()])
+    evm = jax.jit(make_cached_multi_eval_step(model, anchors))(
+        state, data, jnp.asarray(idx2))
+    assert evm["loss"].shape == (2,)
+    single = jax.jit(make_cached_eval_step(model, anchors))
+    for k in range(2):
+        np.testing.assert_allclose(
+            float(evm["loss"][k]),
+            float(single(state, data, jnp.asarray(idx2[k]))["loss"]),
+            rtol=1e-5)
+
 
 @pytest.mark.slow
 def test_overfit_tiny_synthetic():

@@ -201,7 +201,7 @@ def main():
               f"force)")
     if device_cache:
         from tfssd_tpu.train import (
-            make_cached_eval_step,
+            make_cached_multi_eval_step,
             make_cached_multi_train_step,
             make_cached_train_step,
         )
@@ -212,7 +212,7 @@ def main():
             factory(model, anchors, optimizer,
                     augment=not args.no_augment),
             donate_argnums=(0,))
-        eval_step = jax.jit(make_cached_eval_step(model, anchors))
+        eval_step = jax.jit(make_cached_multi_eval_step(model, anchors))
         train_sharding = None
     elif spc > 1:
         from tfssd_tpu.parallel import superbatch_sharding
@@ -354,18 +354,22 @@ def main():
             # serialized transfer behind compute.
             val_losses, val_count = [], 0
             if device_cache:
+                # ONE dispatch for the whole pass (vmapped over the K
+                # val batches): per-dispatch host latency was ~200 ms
+                # over the tunnel, ~1 s/epoch at K=5.
                 n_batches = val_data["image"].shape[0] // args.batch_size
                 if args.val_limit is not None:
                     n_batches = min(n_batches, args.val_limit)
-                for vb in range(n_batches):
-                    idx = jax.numpy.arange(
-                        vb * args.batch_size, (vb + 1) * args.batch_size,
-                        dtype=jax.numpy.int32)
-                    val_losses.append(
-                        eval_step(state, val_data, idx)["loss"])
-                    val_count += max(
-                        0, min(val_n - vb * args.batch_size,
+                idx = jax.numpy.arange(
+                    n_batches * args.batch_size,
+                    dtype=jax.numpy.int32).reshape(n_batches,
+                                                   args.batch_size)
+                val_losses = list(eval_step(state, val_data,
+                                            idx)["loss"])
+                val_count = sum(
+                    max(0, min(val_n - vb * args.batch_size,
                                args.batch_size))
+                    for vb in range(n_batches))
             else:
                 for vb, (device_batch, num_valid) in enumerate(prefetch(
                         to_device(batch_examples(
