@@ -168,6 +168,14 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     gts, dets, drawn, seen = [], [], 0, 0
 
+    # --limit caps the staged/decoded rows too: without this, --limit 8
+    # on a full VOC test split would still decode ~5k images and ship
+    # multi-GB to HBM. The head view also makes the auto-cache size
+    # check see the limited size.
+    if args.limit and args.limit < len(dataset) and not args.image_dir:
+        from tfssd_tpu.data import TakeDataset
+
+        dataset = TakeDataset(dataset, args.limit)
     use_cache = (not args.image_dir and args.device_cache != "off" and
                  (args.device_cache == "on" or
                   len(dataset) * cfg.img_size ** 2 * 3 <= 6e9))

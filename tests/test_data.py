@@ -376,6 +376,27 @@ def test_stage_arrays_pads_and_keeps_metadata():
     np.testing.assert_array_equal(host["image"][7], ex["image"])
 
 
+def test_take_dataset_head_view():
+    # predictor.py --limit stages only the head of the split: the view
+    # must expose exactly n examples, identical to direct access, and
+    # compose with stage_arrays.
+    import pytest as _pytest
+
+    from tfssd_tpu.data import SyntheticDataset, TakeDataset, stage_arrays
+
+    ds = SyntheticDataset(10, image_size=64, seed=1)
+    head = TakeDataset(ds, 3)
+    assert len(head) == 3
+    np.testing.assert_array_equal(head.example(2)["image"],
+                                  ds.example(2)["image"])
+    with _pytest.raises(IndexError):
+        head.example(3)
+    # n is clamped to the underlying size
+    assert len(TakeDataset(ds, 99)) == 10
+    host, n = stage_arrays(head, 8, workers=1, pad_to_multiple=2)
+    assert n == 3 and host["image"].shape[0] == 4
+
+
 def test_make_datasets_voc_without_root_errors():
     # --dataset voc (the default) with no --data-root must fail loudly
     # instead of silently training on synthetic data.

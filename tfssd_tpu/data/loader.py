@@ -85,6 +85,30 @@ class ConcatDataset:
             yield self.example(i)
 
 
+class TakeDataset:
+    """Head view of a random-access dataset: the first `n` examples.
+
+    Lets callers with a --limit stage/decode only the rows they will
+    consume (predictor.py device-cache path) instead of the whole split.
+    """
+
+    def __init__(self, dataset, n: int):
+        self.dataset = dataset
+        self.n = max(0, min(int(n), len(dataset)))
+
+    def __len__(self) -> int:
+        return self.n
+
+    def example(self, index: int) -> Dict:
+        if not 0 <= index < self.n:
+            raise IndexError(index)
+        return self.dataset.example(index)
+
+    def __iter__(self) -> Iterator[Dict]:
+        for i in range(self.n):
+            yield self.example(i)
+
+
 def pad_gt(boxes: np.ndarray, labels: np.ndarray, max_gt: int):
     """Pad/truncate (G,4)/(G,) gt arrays to the static max_gt rows."""
     g = min(len(labels), max_gt)

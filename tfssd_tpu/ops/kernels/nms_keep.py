@@ -23,8 +23,10 @@ MEASURED OUTCOME (v5e, batch 256, SSD300-MBv2 full predict): this kernel
 is ~13% SLOWER end-to-end than the XLA fixpoint path (47.7 vs 42.1 ms)
 — per-program sweeps serialize across the 640 grid programs, while the
 XLA formulation advances ALL 5120 instances in each global sweep and
-converges in ~9 sweeps total. The decode path therefore defaults to the
-XLA impl; this kernel is kept as the fused-VMEM reference
+converges in ~9 sweeps total. The decode path therefore defaults to a
+batched XLA formulation — `config.nms_impl="blocked"`, the triangular
+solve that also beat the fixpoint on heavy-overlap inputs (see
+ops/nms.py); this kernel is kept as the fused-VMEM reference
 (combined_nms(impl="pallas")) and as the starting point for a future
 multi-instance-per-sweep variant.
 

@@ -34,20 +34,11 @@ from tfssd_tpu.ops.matching import match_batch as _match_batch_jnp
 
 def _matcher(cfg: SSDConfig):
     """Select the GT matcher: Pallas fused kernel (config.use_pallas) or
-    the jnp reference (ops.matching.match_batch).
-
-    The Pallas kernel implements threshold-only matching (the reference's
-    behaviour); the paper's optional force-match step only exists in the
-    jnp path, so that combination falls back with a warning rather than
-    silently dropping the bipartite step."""
+    the jnp reference (ops.matching.match_batch). Both implement the
+    full semantics including the optional paper force-match step
+    (config.force_match_for_gt) — the kernel emits per-tile gt argmax
+    outputs and a tiny jnp post-pass applies the bipartite claims."""
     if cfg.use_pallas:
-        if cfg.force_match_for_gt:
-            import warnings
-
-            warnings.warn(
-                "force_match_for_gt is not implemented in the Pallas "
-                "matcher; using the jnp matcher instead", stacklevel=2)
-            return _match_batch_jnp
         from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas
         return match_batch_pallas
     return _match_batch_jnp
@@ -280,24 +271,39 @@ def make_cached_eval_step(model: SSD, anchors: Array):
     return cached_eval
 
 
-def make_cached_multi_eval_step(model: SSD, anchors: Array):
+def make_cached_multi_eval_step(model: SSD, anchors: Array,
+                                chunk: int = 4):
     """The WHOLE validation pass as one dispatch: idx is (K, B) — all K
-    val batches evaluated in a single vmapped computation over the
-    device-resident data, metrics returned stacked (K,) per entry.
+    val batches evaluated in a single dispatch over the device-resident
+    data, metrics returned stacked (K,) per entry.
 
-    Why: each eval dispatch over the TPU serving tunnel pays a host
-    round-trip cycle (~200 ms measured inside the train loop); a 5-batch
-    validation pass as 5 dispatches cost ~1.0 s/epoch of the end-to-end
-    budget, as one dispatch ~0.3 s. Batches are independent (eval mode
-    uses frozen BN statistics), so vmap — not scan — is the right
-    combinator.
+    Why one dispatch: each eval dispatch over the TPU serving tunnel pays
+    a host round-trip cycle (~200 ms measured inside the train loop); a
+    5-batch validation pass as 5 dispatches cost ~1.0 s/epoch of the
+    end-to-end budget, as one dispatch ~0.3 s.
+
+    Why chunked (lax.map with batch_size=chunk) and not one flat vmap:
+    a flat vmap over K batches peaks activation memory at K×batch — with
+    a real VOC val split (~2.5k images) alongside a resident dataset
+    that is an OOM on a 16 GB chip. lax.map scans groups of `chunk`
+    vmapped batches, so peak memory is chunk×batch regardless of val-set
+    size while still being a single dispatch. K is padded up to a
+    multiple of `chunk` by repeating the last row (callers index metrics
+    [:K], and the pad rows are never counted: the trainer weights the
+    val mean by real-image counts).
     """
     base = make_eval_step(model, anchors)
 
     def multi_eval(state: TrainState, data: Dict[str, Array],
                    idx: Array):
-        return jax.vmap(
-            lambda idx_k: base(state, _gather_rows(data, idx_k)))(idx)
+        k = idx.shape[0]
+        pad = (-k) % chunk
+        if pad:
+            idx = jnp.concatenate([idx, jnp.repeat(idx[-1:], pad, axis=0)])
+        out = jax.lax.map(
+            lambda idx_k: base(state, _gather_rows(data, idx_k)), idx,
+            batch_size=chunk)
+        return {key: v[:k] for key, v in out.items()}
 
     return multi_eval
 

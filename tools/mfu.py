@@ -1,0 +1,198 @@
+"""MFU / roofline accounting for the flagship configs (VERDICT r3 next #1).
+
+For each config this compiles the exact jitted function the framework
+runs (full predict path or full train step incl. in-jit augmentation),
+reads XLA's post-optimization cost analysis (FLOPs + HBM bytes
+accessed), measures streaming step time on the real device, and reports:
+
+  - achieved FLOPs/s and MFU vs the chip's peak
+  - the roofline memory-bound ceiling (bytes accessed / HBM bandwidth)
+  - arithmetic intensity (FLOPs / byte) vs the machine balance point
+
+MFU here is the honest kind: the numerator is the FLOPs of the compiled
+program actually executed (XLA's count after fusion/folding), not a
+hand-picked "useful FLOPs" subset, and the denominator is peak bf16.
+
+Peak numbers (TPU v5e, single chip): 197.2 TFLOP/s bf16 MXU,
+819 GB/s HBM. Sources: public v5e spec (jax-ml.github.io/scaling-book
+ch. "TPUs"). Override with --peak-tflops/--hbm-gbps for other chips.
+
+Usage (repo root, no JAX_PLATFORMS override -> real TPU):
+    python tools/mfu.py [--configs mbv2-train,mbv2-infer,...] [--iters 20]
+Emits one JSON line per config plus a readable table on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _time_fn
+
+V5E_PEAK_BF16 = 197.2e12
+V5E_HBM_BPS = 819e9
+
+
+def _time_train(step, fargs, iters: int) -> float:
+    """Seconds/step with the TrainState THREADED through the donated
+    step (bench.py's loop) — see the measurement-trap note in
+    _build_train."""
+    import time
+
+    state, db, rng = fargs
+    for _ in range(3):
+        state, _ = step(state, db, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state, db, rng)
+    jax.block_until_ready(state.params)
+    return (time.perf_counter() - t0) / iters
+
+
+def _cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return (float(ca.get("flops", 0.0)),
+            float(ca.get("bytes accessed", 0.0)))
+
+
+def _build_infer(backbone: str, batch: int):
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.models import get_model, init_model, make_predict_fn
+    from tfssd_tpu.ops.boxes import generate_anchors
+
+    cfg = get_hyper_params(backbone, compute_dtype="bfloat16")
+    model = get_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    anchors = generate_anchors(cfg)
+    predict = jax.jit(make_predict_fn(model, anchors, cfg))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            -1, 1, (batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)
+    return predict, (variables, images), batch
+
+
+def _build_train(backbone: str, batch: int, augment: bool = True,
+                 remat: bool = False):
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.data import SyntheticDataset, batch_examples
+    from tfssd_tpu.models import get_model
+    from tfssd_tpu.ops.boxes import generate_anchors
+    from tfssd_tpu.train import (
+        create_train_state, make_optimizer, make_train_step)
+
+    cfg = get_hyper_params(backbone, compute_dtype="bfloat16", remat=remat)
+    model = get_model(cfg)
+    anchors = generate_anchors(cfg)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.key(0), opt)
+    # Donate + THREAD the state exactly as bench.py/trainer.py run it.
+    # Measured trap: timing 20 independent calls on the SAME input state
+    # (outputs all retained) reads 74.6 ms/step where the threaded loop
+    # reads 34.2 ms — retaining ~20 full TrainStates (~2 GB) stalls the
+    # allocator. Threading (with or without donation: 34.2 vs 34.4 ms)
+    # is the honest serving shape.
+    step = jax.jit(make_train_step(model, anchors, opt, augment=augment),
+                   donate_argnums=(0,))
+    ds = SyntheticDataset(batch, image_size=cfg.img_size)
+    b = next(batch_examples(ds, batch, cfg.max_gt_boxes))
+    db = {k: jnp.asarray(b[k]) for k in ("image", "boxes", "labels")}
+    return step, (state, db, jax.random.key(1)), batch
+
+
+CONFIGS = {
+    # name: (builder, kwargs, description)
+    "mbv2-infer": (_build_infer, {"backbone": "mobilenet_v2", "batch": 256},
+                   "SSD300-MBv2 predict b256 bf16"),
+    "vgg16-infer": (_build_infer, {"backbone": "vgg16", "batch": 128},
+                    "SSD300-VGG16 predict b128 bf16"),
+    "mbv2-train": (_build_train, {"backbone": "mobilenet_v2", "batch": 64},
+                   "SSD300-MBv2 train step b64 bf16 +augment"),
+    "mbv2-train-noaug": (_build_train,
+                         {"backbone": "mobilenet_v2", "batch": 64,
+                          "augment": False},
+                         "SSD300-MBv2 train step b64 bf16 no-augment"),
+    "mbv2-train-256": (_build_train,
+                       {"backbone": "mobilenet_v2", "batch": 256},
+                       "SSD300-MBv2 train step b256 bf16 no-remat "
+                       "+augment"),
+    "mbv2-train-256-remat": (_build_train,
+                             {"backbone": "mobilenet_v2", "batch": 256,
+                              "remat": True},
+                             "SSD300-MBv2 train step b256 bf16+remat "
+                             "+augment (measured negative: 1,872 vs "
+                             "2,160 img/s no-remat)"),
+    "vgg16-train": (_build_train, {"backbone": "vgg16", "batch": 64},
+                    "SSD300-VGG16 train step b64 bf16 +augment"),
+    "ssd512-train": (_build_train, {"backbone": "vgg16_512", "batch": 16},
+                     "SSD512-VGG16 train step b16 bf16 +augment"),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="mbv2-infer,vgg16-infer,"
+                                        "mbv2-train,vgg16-train")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--peak-tflops", type=float,
+                   default=V5E_PEAK_BF16 / 1e12)
+    p.add_argument("--hbm-gbps", type=float, default=V5E_HBM_BPS / 1e9)
+    args = p.parse_args()
+    from tfssd_tpu.utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
+    peak = args.peak_tflops * 1e12
+    hbm = args.hbm_gbps * 1e9
+    balance = peak / hbm  # FLOPs/byte at the roofline ridge
+    print(f"device={jax.devices()[0]} peak={peak/1e12:.1f} TF/s "
+          f"hbm={hbm/1e9:.0f} GB/s ridge={balance:.0f} FLOP/B",
+          file=sys.stderr)
+
+    for name in args.configs.split(","):
+        name = name.strip()
+        builder, kw, desc = CONFIGS[name]
+        fn, fargs, batch = builder(**kw)
+        lowered = fn.lower(*fargs)
+        compiled = lowered.compile()
+        flops, bytes_acc = _cost(compiled)
+        if builder is _build_train:
+            dt = _time_train(fn, fargs, args.iters)
+        else:
+            dt = _time_fn(fn, fargs, args.iters)
+        achieved = flops / dt
+        mfu = achieved / peak
+        mem_bound_s = bytes_acc / hbm
+        intensity = flops / max(bytes_acc, 1.0)
+        rec = {
+            "config": name,
+            "desc": desc,
+            "batch": batch,
+            "step_ms": round(dt * 1e3, 3),
+            "img_per_s": round(batch / dt, 1),
+            "gflops_per_step": round(flops / 1e9, 2),
+            "hbm_gb_per_step": round(bytes_acc / 1e9, 3),
+            "achieved_tflops": round(achieved / 1e12, 2),
+            "mfu_pct": round(100 * mfu, 2),
+            "arith_intensity_flop_per_byte": round(intensity, 1),
+            "roofline_mem_bound_ms": round(mem_bound_s * 1e3, 3),
+            "hbm_bw_utilization_pct": round(100 * mem_bound_s / dt, 1),
+            "compute_bound": bool(intensity > balance),
+        }
+        print(json.dumps(rec))
+        print(f"{name:18s} {dt*1e3:8.2f} ms  {batch/dt:8.1f} img/s  "
+              f"{flops/1e9:9.1f} GF  MFU {100*mfu:5.2f}%  "
+              f"AI {intensity:6.1f} F/B  "
+              f"HBM {100*mem_bound_s/dt:5.1f}%", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -285,10 +285,16 @@ def main():
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         if device_cache:
-            perm = np.random.default_rng(
-                args.seed * 10_000 + epoch).permutation(train_n)
-            idx_epoch = perm[:steps_per_epoch * args.batch_size].astype(
-                np.int32)
+            # An explicit --steps-per-epoch may exceed one pass over the
+            # dataset; concatenate fresh permutations until the epoch's
+            # index budget is covered (the streamed path reshuffles per
+            # pass the same way via its epoch loop).
+            need = steps_per_epoch * args.batch_size
+            rng_ep = np.random.default_rng(args.seed * 10_000 + epoch)
+            idx_epoch = np.concatenate(
+                [rng_ep.permutation(train_n)
+                 for _ in range(-(-need // train_n))])[:need].astype(
+                     np.int32)
             it = None
         else:
             batches = batch_examples(
