@@ -320,7 +320,7 @@ def main():
                  "--backbone", "mobilenet_v2", "--bf16",
                  "--batch-size", "64", "--epochs", "4",
                  "--synthetic-size", "16512",
-                 "--steps-per-call", "8",
+                 "--steps-per-call", "64", "--log-every", "256",
                  "--model-dir", os.path.join(td, "ckpt"),
                  "--log-dir", os.path.join(td, "logs")],
                 capture_output=True, text=True,

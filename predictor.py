@@ -193,11 +193,16 @@ def main():
         host, n_real = stage_arrays(
             dataset, cfg.max_gt_boxes, workers=args.workers,
             pad_to_multiple=args.batch_size)
-        data = shard_batch(mesh, {"image": host["image"]})
+        # Flat (N, S*S*3) staging: see train._gather_rows — a 4-D u8
+        # gather operand makes XLA relayout the whole resident split
+        # inside the jit (dataset-sized extra copies).
+        data = shard_batch(mesh, {
+            "image": host["image"].reshape(host["image"].shape[0], -1)})
 
         def _predict_cached(v, d, idx):
-            return predict(v, preprocess_images(
-                jnp.take(d["image"], idx, axis=0)))
+            img = jnp.take(d["image"], idx, axis=0)
+            img = img.reshape(idx.shape[0], cfg.img_size, cfg.img_size, 3)
+            return predict(v, preprocess_images(img))
 
         predict_cached = jax.jit(_predict_cached)
         limit_n = min(n_real, args.limit) if args.limit else n_real

@@ -144,6 +144,7 @@ def test_cached_step_matches_streamed_step():
     from tfssd_tpu.data import stage_arrays
     from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
     from tfssd_tpu.train import (
+        flatten_images,
         make_cached_eval_step,
         make_cached_train_step,
         make_eval_step,
@@ -158,9 +159,11 @@ def test_cached_step_matches_streamed_step():
     mesh = get_mesh()
     state = replicate(mesh, state)
     # ship only the array keys (trainer.py does the same): stage_arrays
-    # also returns host-side ids/difficult metadata that can't be jitted
-    data = shard_batch(mesh, {
-        k: data_host[k] for k in ("image", "boxes", "labels")})
+    # also returns host-side ids/difficult metadata that can't be jitted.
+    # Images ship FLAT (N, S*S*3) as trainer.py stages them (the
+    # layout-proof gather shape); _gather_rows reshapes per batch.
+    data = shard_batch(mesh, flatten_images({
+        k: data_host[k] for k in ("image", "boxes", "labels")}))
     rng = jax.random.key(9)
     idx = np.asarray([3, 17, 5, 0, 23, 9, 11, 2], np.int32)
 
@@ -184,6 +187,13 @@ def test_cached_step_matches_streamed_step():
     evc = jax.jit(make_cached_eval_step(model, anchors))(
         state, data, jnp.asarray(idx))
     np.testing.assert_allclose(float(evc["loss"]), float(ev["loss"]),
+                               rtol=1e-5)
+    # 4-D (unflattened) resident data is still supported by _gather_rows
+    data4d = shard_batch(mesh, {
+        k: data_host[k] for k in ("image", "boxes", "labels")})
+    evc4 = jax.jit(make_cached_eval_step(model, anchors))(
+        state, data4d, jnp.asarray(idx))
+    np.testing.assert_allclose(float(evc4["loss"]), float(ev["loss"]),
                                rtol=1e-5)
 
     # trainer.py's one-dispatch validation pass: chunked multi-eval over

@@ -204,8 +204,34 @@ def make_multi_train_step(model: SSD, anchors: Array,
 
 
 def _gather_rows(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
-    return {k: jnp.take(data[k], idx, axis=0)
-            for k in ("image", "boxes", "labels")}
+    """Gather one batch from the device-resident dataset.
+
+    `data['image']` may be FLAT (N, S*S*3) — the layout-proof staging
+    shape — or (N, S, S, 3). Flat is what trainer.py ships: with a 4-D
+    u8 operand XLA picks a gather-internal layout different from the
+    parameter's and RELAYOUTS THE WHOLE DATASET inside the step (two
+    extra ~5 GB copies at VOC scale = compile-time OOM, observed r4:
+    18.67 G requested of 15.75 G). A 2-D operand has only trivial
+    layouts, so the gather reads the resident buffer in place and any
+    layout churn happens on the gathered (B, S*S*3) batch instead."""
+    out = {k: jnp.take(data[k], idx, axis=0)
+           for k in ("image", "boxes", "labels")}
+    img = out["image"]
+    if img.ndim == 2:
+        side = int(round((img.shape[1] // 3) ** 0.5))
+        out["image"] = img.reshape(idx.shape[0], side, side, 3)
+    return out
+
+
+def flatten_images(data: Dict[str, Array]) -> Dict[str, Array]:
+    """Stage-side counterpart of _gather_rows' flat-image support:
+    reshape (N, S, S, 3) images to (N, S*S*3) rows before shipping the
+    resident dataset to HBM (see _gather_rows for why)."""
+    out = dict(data)
+    img = out["image"]
+    if img.ndim == 4:
+        out["image"] = img.reshape(img.shape[0], -1)
+    return out
 
 
 def make_cached_train_step(model: SSD, anchors: Array,

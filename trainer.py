@@ -265,16 +265,21 @@ def main():
         # Stage the decoded datasets in HBM once (one transfer per key);
         # epochs then ship only 4·B-byte index rows per step. Raw pixels
         # are cached — augmentation still runs per step inside the jit.
+        from tfssd_tpu.train import flatten_images
+
         t0 = time.perf_counter()
         host_train, train_n = stage_arrays(
             train_ds, cfg.max_gt_boxes, workers=args.workers)
-        train_data = shard_batch(mesh, {
-            k: host_train[k] for k in ("image", "boxes", "labels")})
+        # Images ship FLAT (N, S*S*3): a 4-D u8 gather operand makes XLA
+        # relayout the whole resident dataset inside the step (~2 extra
+        # dataset-sized copies -> compile OOM at VOC scale).
+        train_data = shard_batch(mesh, flatten_images({
+            k: host_train[k] for k in ("image", "boxes", "labels")}))
         host_val, val_n = stage_arrays(
             val_ds, cfg.max_gt_boxes, workers=args.workers,
             pad_to_multiple=args.batch_size)
-        val_data = shard_batch(mesh, {
-            k: host_val[k] for k in ("image", "boxes", "labels")})
+        val_data = shard_batch(mesh, flatten_images({
+            k: host_val[k] for k in ("image", "boxes", "labels")}))
         jax.block_until_ready(
             (train_data["image"], val_data["image"]))
         del host_train, host_val
