@@ -56,6 +56,45 @@ def test_predict_fn_end_to_end():
 
 
 @pytest.mark.slow
+def test_predict_data_parallel_parity():
+    # BASELINE #5's serving shape: predict with the batch sharded over
+    # the 8-device mesh (predictor.py's replicate+shard_batch) must
+    # produce the same detections as single-device predict — the
+    # decode/NMS path has no cross-image coupling, so results must be
+    # bitwise-identical per image up to fp reassociation.
+    from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
+
+    cfg = get_hyper_params(
+        "mobilenet_v2",
+        img_size=96,
+        feature_map_shapes=(6, 3, 2, 1, 1, 1),
+        total_labels=6,
+    )
+    model = get_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+    anchors = generate_anchors(cfg)
+    predict = jax.jit(make_predict_fn(model, anchors, cfg))
+    images = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (8, 96, 96, 3)),
+        jnp.float32)
+
+    single = predict(variables, images)
+
+    mesh = get_mesh()
+    assert mesh.devices.size == 8, "conftest provides the 8-device mesh"
+    sharded_vars = replicate(mesh, variables)
+    sharded_imgs = shard_batch(mesh, images)
+    multi = predict(sharded_vars, sharded_imgs)
+
+    np.testing.assert_allclose(np.asarray(multi.scores),
+                               np.asarray(single.scores), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(multi.classes),
+                                  np.asarray(single.classes))
+    np.testing.assert_allclose(np.asarray(multi.boxes),
+                               np.asarray(single.boxes), atol=1e-5)
+
+
+@pytest.mark.slow
 def test_bfloat16_compute_path():
     cfg = get_hyper_params("mobilenet_v2", compute_dtype="bfloat16")
     model = get_model(cfg)

@@ -157,15 +157,22 @@ def match_encode_pallas(
         jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32),
     ]
     if force:
+        # (b*n_tiles, 1, g) rather than (b, n_tiles, g): Mosaic requires
+        # a block's last two dims to divide (8, 128) or EQUAL the array
+        # dims — a (1, 1, g) block over (b, n_tiles, g) has
+        # second-to-last 1 != n_tiles. Flattening (batch, tile) into the
+        # leading axis makes the (1, 1, g) block legal; reshaped below.
         out_specs += [
-            pl.BlockSpec((1, 1, g), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, g),
+                         lambda i, j, nt=n_tiles: (i * nt + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, g),
+                         lambda i, j, nt=n_tiles: (i * nt + j, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((b, n_tiles, g), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_tiles, g), jnp.int32),
+            jax.ShapeDtypeStruct((b * n_tiles, 1, g), jnp.float32),
+            jax.ShapeDtypeStruct((b * n_tiles, 1, g), jnp.int32),
         ]
     outs = pl.pallas_call(
         kernel,
@@ -184,7 +191,8 @@ def match_encode_pallas(
     )(anchors, gt_boxes, gt_labels[:, None, :])
     deltas, labels = outs[0][:, :n], outs[1][:, :n, 0]
     if force:
-        tile_best, tile_arg = outs[2], outs[3]       # (B, n_tiles, G)
+        tile_best = outs[2].reshape(b, n_tiles, g)
+        tile_arg = outs[3].reshape(b, n_tiles, g)
         # First tile holding the global max (argmax = first occurrence),
         # then that tile's first-best anchor: reproduces the jnp
         # matcher's argmax-over-anchors tie-break exactly. A gt with
