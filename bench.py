@@ -377,7 +377,14 @@ def main():
             img_s, dt = bench_train(args.batch_size or 16, args.iters,
                                     backbone="vgg16_512", remat=False)
             remat = False
-        except Exception:
+        except Exception as e:
+            # Only an HBM OOM justifies the remat fallback; anything
+            # else (tunnel flake, regression) must surface, not be
+            # silently relabeled as a remat measurement.
+            msg = str(e)
+            if not ("RESOURCE_EXHAUSTED" in msg
+                    or "Ran out of memory" in msg or "hbm" in msg):
+                raise
             img_s, dt = bench_train(args.batch_size or 16, args.iters,
                                     backbone="vgg16_512", remat=True)
             remat = True

@@ -196,8 +196,9 @@ def main():
         # Flat (N, S*S*3) staging: see train._gather_rows — a 4-D u8
         # gather operand makes XLA relayout the whole resident split
         # inside the jit (dataset-sized extra copies).
-        data = shard_batch(mesh, {
-            "image": host["image"].reshape(host["image"].shape[0], -1)})
+        from tfssd_tpu.train import flatten_images
+
+        data = shard_batch(mesh, flatten_images({"image": host["image"]}))
 
         def _predict_cached(v, d, idx):
             img = jnp.take(d["image"], idx, axis=0)

@@ -80,17 +80,21 @@ def test_match_encode_nondivisible_anchor_count():
     np.testing.assert_array_equal(np.asarray(pal[1]), np.asarray(ref[1]))
 
 
-def test_match_encode_force_match_parity():
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
+def test_match_encode_force_match_parity(seed):
     # config.force_match_for_gt with the Pallas matcher (VERDICT r3
     # missing #4): the kernel+post-pass must reproduce the jnp matcher's
-    # bipartite force-match exactly, including a tiny gt that no anchor
-    # overlaps above threshold (the case force-match exists for) and
-    # padded gt rows competing for anchor 0.
+    # bipartite force-match exactly. Multi-seed fuzz on purpose: the
+    # per-gt argmax must come from the SAME iou_matrix expression the
+    # jnp matcher evaluates — an early variant recovered it from the
+    # kernel's own IoU arithmetic, whose different rounding flipped
+    # winners on the exact-IoU ties symmetric anchor grids produce, and
+    # a single-seed test passed by luck.
     cfg = get_hyper_params("mobilenet_v2", max_gt_boxes=16,
                            force_match_for_gt=True)
     anchors = jnp.asarray(generate_anchors(cfg))
-    rng = np.random.default_rng(11)
-    gt_boxes, gt_labels = _random_gt(rng, 4, 16)
+    rng = np.random.default_rng(seed)
+    gt_boxes, gt_labels = _random_gt(rng, 8, 16)
     # a sub-threshold sliver gt in image 0: forced positive only via the
     # bipartite step
     gt_boxes = gt_boxes.at[0, 0].set(
