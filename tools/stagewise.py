@@ -16,7 +16,8 @@ from tfssd_tpu.ops.boxes import generate_anchors
 from tfssd_tpu.ops.nms import _greedy_keep_blocked, _merge_detections
 
 B = 256
-nstages = int(sys.argv[1])
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+nstages = int(_pos[0]) if _pos else 6  # default: the full fused graph
 barriers = "--barriers" in sys.argv
 
 cfg = get_hyper_params("mobilenet_v2")

@@ -34,7 +34,6 @@ from tfssd_tpu.ops.boxes import generate_anchors
 from tfssd_tpu.parallel import get_mesh, replicate, shard_batch
 from tfssd_tpu.train import (
     create_train_state,
-    get_step_size,
     make_eval_step,
     make_lr_schedule,
     make_optimizer,
