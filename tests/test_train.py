@@ -134,6 +134,37 @@ def test_multi_step_matches_sequential_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=K * 2.5e-3)
 
+    # trainer.py's streamed spc>1 branch shards the super-batch with
+    # superbatch_sharding (scan axis whole, batch axis over "data"):
+    # the 8-way sharded scan must match the unsharded scan on the same
+    # super-batch (batch widened to 8 rows to divide the mesh).
+    from tfssd_tpu.parallel import (
+        get_mesh,
+        replicate,
+        shard_batch,
+        superbatch_sharding,
+    )
+
+    super8 = {k: jnp.concatenate([v, v], axis=1)
+              for k, v in superbatch.items()}
+    m_plain, ms_plain = multi(state, super8, rng)
+    mesh = get_mesh()
+    s_state = replicate(mesh, state)
+    s_super = shard_batch(mesh, super8,
+                          sharding=superbatch_sharding(mesh))
+    s_sharded, ms_sharded = multi(s_state, s_super, rng)
+    assert int(s_sharded.step) == int(m_plain.step) == K
+    # Step 0 runs on identical pre-update params: tight. Later steps sit
+    # on the steep early-loss surface after Adam's ±lr sign-sensitive
+    # updates, and the sharded executable's per-device-partial + psum
+    # reduction order differs from the unsharded one — measured drift
+    # 4% by step 2; real bugs (wrong shard, dropped psum) move losses
+    # by whole units.
+    assert abs(float(ms_sharded["loss"][0])
+               - float(ms_plain["loss"][0])) < 1e-3
+    np.testing.assert_allclose(np.asarray(ms_sharded["loss"]),
+                               np.asarray(ms_plain["loss"]), rtol=1e-1)
+
 
 @pytest.mark.slow
 def test_cached_step_matches_streamed_step():
