@@ -15,6 +15,16 @@ from __future__ import annotations
 import os
 
 import jax
+
+# Honor JAX_PLATFORMS=cpu BEFORE any other import: the image's
+# sitecustomize pins the axon TPU plugin through jax.config, and
+# downstream imports (flax/orbax) can initialize the backend at import
+# time — after which the platform is fixed and `JAX_PLATFORMS=cpu
+# python predictor.py` silently runs on the TPU (observed r4: a "CPU"
+# export retry-looped on a wedged TPU tunnel instead).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from tfssd_tpu import get_hyper_params

@@ -25,6 +25,20 @@ from typing import Iterator, Optional
 import jax
 
 
+def honor_platform_env() -> None:
+    """Re-assert JAX_PLATFORMS=cpu through jax.config.
+
+    This image's sitecustomize pins the experimental 'axon' TPU plugin
+    via jax.config, so the environment variable alone is silently
+    ignored — `JAX_PLATFORMS=cpu python trainer.py` would still run on
+    the TPU (and some paths, e.g. jax.export lowering, hang over the
+    axon tunnel). Every CLI entry point calls this before first backend
+    use; tests/conftest.py and bench.py apply the same recipe.
+    """
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def enable_persistent_compile_cache(directory: Optional[str] = None) -> None:
     """Point XLA's persistent compilation cache at a local directory.
 
@@ -39,7 +53,12 @@ def enable_persistent_compile_cache(directory: Optional[str] = None) -> None:
 
     Resolution order: explicit arg > $JAX_COMPILATION_CACHE_DIR (jax
     reads it natively; we leave it alone) > ~/.cache/tfssd_tpu/xla.
+
+    Also re-asserts JAX_PLATFORMS=cpu (honor_platform_env): every CLI
+    calls this before its first backend touch, which makes it the one
+    place that reliably fixes the sitecustomize platform pin.
     """
+    honor_platform_env()
     if directory is None:
         if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
             return  # jax already configured from the environment

@@ -14,9 +14,17 @@ is only batching uint8 images.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
+
+# Honor JAX_PLATFORMS=cpu BEFORE any other import — see predictor.py:
+# downstream imports can initialize the backend, after which the
+# sitecustomize's axon pin is unswitchable.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from tfssd_tpu import get_hyper_params
