@@ -86,6 +86,26 @@ def test_metrics_logger_tensorboard_mirror(tmp_path):
         pass
 
 
+def test_cli_honors_platform_env():
+    # JAX_PLATFORMS=cpu must actually select CPU when the CLIs are
+    # imported (r4 regression: this image's sitecustomize pins the axon
+    # TPU plugin through jax.config, and backend-initializing imports
+    # made the CLIs' late config update a no-op, so "CPU" runs silently
+    # used the TPU). Subprocess: the fix lives at module import time.
+    import subprocess
+    import sys
+
+    code = ("import trainer, predictor, jax; "
+            "assert jax.default_backend() == 'cpu', jax.default_backend()")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-800:]
+
+
 def test_profiling_surface(tmp_path):
     import jax
     from tfssd_tpu.utils.profiling import (
