@@ -210,10 +210,11 @@ def main():
 
         data = shard_batch(mesh, flatten_images({"image": host["image"]}))
 
+        from tfssd_tpu.train import gather_rows
+
         def _predict_cached(v, d, idx):
-            img = jnp.take(d["image"], idx, axis=0)
-            img = img.reshape(idx.shape[0], cfg.img_size, cfg.img_size, 3)
-            return predict(v, preprocess_images(img))
+            return predict(v, preprocess_images(
+                gather_rows(d, idx)["image"]))
 
         predict_cached = jax.jit(_predict_cached)
         limit_n = min(n_real, args.limit) if args.limit else n_real

@@ -36,8 +36,10 @@ def _matcher(cfg: SSDConfig):
     """Select the GT matcher: Pallas fused kernel (config.use_pallas) or
     the jnp reference (ops.matching.match_batch). Both implement the
     full semantics including the optional paper force-match step
-    (config.force_match_for_gt) — the kernel emits per-tile gt argmax
-    outputs and a tiny jnp post-pass applies the bipartite claims."""
+    (config.force_match_for_gt) — the kernel path applies it as a jnp
+    post-pass that derives each gt's best anchor from the same
+    iou_matrix expression the jnp matcher uses (exact tie-break parity;
+    see ops/kernels/match_encode.py)."""
     if cfg.use_pallas:
         from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas
         return match_batch_pallas
@@ -203,8 +205,9 @@ def make_multi_train_step(model: SSD, anchors: Array,
     return multi_step
 
 
-def _gather_rows(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
-    """Gather one batch from the device-resident dataset.
+def gather_rows(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
+    """Gather one batch from the device-resident dataset (public: the
+    predictor's cached-eval path reuses it for image-only dicts).
 
     `data['image']` may be FLAT (N, S*S*3) — the layout-proof staging
     shape — or (N, S, S, 3). Flat is what trainer.py ships: with a 4-D
@@ -215,7 +218,7 @@ def _gather_rows(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
     layouts, so the gather reads the resident buffer in place and any
     layout churn happens on the gathered (B, S*S*3) batch instead."""
     out = {k: jnp.take(data[k], idx, axis=0)
-           for k in ("image", "boxes", "labels")}
+           for k in ("image", "boxes", "labels") if k in data}
     img = out["image"]
     if img.ndim == 2:
         side = int(round((img.shape[1] // 3) ** 0.5))
@@ -224,9 +227,9 @@ def _gather_rows(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
 
 
 def flatten_images(data: Dict[str, Array]) -> Dict[str, Array]:
-    """Stage-side counterpart of _gather_rows' flat-image support:
+    """Stage-side counterpart of gather_rows' flat-image support:
     reshape (N, S, S, 3) images to (N, S*S*3) rows before shipping the
-    resident dataset to HBM (see _gather_rows for why)."""
+    resident dataset to HBM (see gather_rows for why)."""
     out = dict(data)
     img = out["image"]
     if img.ndim == 4:
@@ -260,7 +263,7 @@ def make_cached_train_step(model: SSD, anchors: Array,
 
     def cached_step(state: TrainState, data: Dict[str, Array],
                     idx: Array, rng: jax.Array):
-        return base(state, _gather_rows(data, idx), rng)
+        return base(state, gather_rows(data, idx), rng)
 
     return cached_step
 
@@ -277,7 +280,7 @@ def make_cached_multi_train_step(model: SSD, anchors: Array,
     def multi_step(state: TrainState, data: Dict[str, Array],
                    idx: Array, rng: jax.Array):
         def body(st, idx_k):
-            return base(st, _gather_rows(data, idx_k), rng)
+            return base(st, gather_rows(data, idx_k), rng)
 
         return jax.lax.scan(body, state, idx)
 
@@ -292,7 +295,7 @@ def make_cached_eval_step(model: SSD, anchors: Array):
 
     def cached_eval(state: TrainState, data: Dict[str, Array],
                     idx: Array):
-        return base(state, _gather_rows(data, idx))
+        return base(state, gather_rows(data, idx))
 
     return cached_eval
 
@@ -313,23 +316,19 @@ def make_cached_multi_eval_step(model: SSD, anchors: Array,
     a real VOC val split (~2.5k images) alongside a resident dataset
     that is an OOM on a 16 GB chip. lax.map scans groups of `chunk`
     vmapped batches, so peak memory is chunk×batch regardless of val-set
-    size while still being a single dispatch. K is padded up to a
-    multiple of `chunk` by repeating the last row (callers index metrics
-    [:K], and the pad rows are never counted: the trainer weights the
-    val mean by real-image counts).
+    size while still being a single dispatch. A K that doesn't divide
+    `chunk` is handled by lax.map's native remainder program (one extra
+    compile the first time that K shows up) rather than by padding —
+    padding would evaluate up to chunk-1 redundant batches EVERY pass.
+    Metrics return stacked (K,) per entry.
     """
     base = make_eval_step(model, anchors)
 
     def multi_eval(state: TrainState, data: Dict[str, Array],
                    idx: Array):
-        k = idx.shape[0]
-        pad = (-k) % chunk
-        if pad:
-            idx = jnp.concatenate([idx, jnp.repeat(idx[-1:], pad, axis=0)])
-        out = jax.lax.map(
-            lambda idx_k: base(state, _gather_rows(data, idx_k)), idx,
+        return jax.lax.map(
+            lambda idx_k: base(state, gather_rows(data, idx_k)), idx,
             batch_size=chunk)
-        return {key: v[:k] for key, v in out.items()}
 
     return multi_eval
 

@@ -372,7 +372,7 @@ def main():
             # serialized transfer behind compute.
             val_losses, val_count = [], 0
             if device_cache:
-                # ONE dispatch for the whole pass (vmapped over the K
+                # ONE dispatch for the whole pass (chunked lax.map over the K
                 # val batches): per-dispatch host latency was ~200 ms
                 # over the tunnel, ~1 s/epoch at K=5.
                 n_batches = val_data["image"].shape[0] // args.batch_size
