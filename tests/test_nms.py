@@ -59,6 +59,27 @@ def test_max_total_truncates_by_score():
     assert np.all(np.diff(s) <= 1e-9)
 
 
+def test_negative_scores_with_permissive_threshold():
+    # tf.image.combined_non_max_suppression semantics allow any
+    # score_threshold (e.g. -inf with margin/logit scores): kept
+    # negative-score detections must survive the global merge and be
+    # marked valid. Regression for the old `score > 0` validity test,
+    # which let zeroed suppressed rows outrank kept negative scores.
+    boxes = [[0.1, 0.1, 0.5, 0.5],
+             [0.12, 0.12, 0.52, 0.52],   # IoU ~0.8 with #0 -> suppressed
+             [0.6, 0.6, 0.9, 0.9]]
+    scores = [[-0.3], [-0.5], [-1.2]]
+    r = _res(boxes, scores, score_threshold=-1e9, max_total_detections=8)
+    assert int(r.valid[0]) == 2
+    np.testing.assert_allclose(np.asarray(r.scores[0, :2]), [-0.3, -1.2],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.boxes[0, :2]),
+                               [boxes[0], boxes[2]], atol=1e-6)
+    # padding rows stay 0-score / -1-class
+    assert np.all(np.asarray(r.classes[0, 2:]) == -1)
+    assert np.all(np.asarray(r.scores[0, 2:]) == 0.0)
+
+
 def test_padding_rows_are_marked():
     boxes = [[0.1, 0.1, 0.5, 0.5]]
     scores = [[0.9]]

@@ -55,7 +55,12 @@ def parse_annotation(xml_path: str, keep_difficult: bool = False) -> Dict:
             # and ignore-matches them instead
             continue
         bb = obj.find("bndbox")
-        # VOC pixel coords are 1-based inclusive.
+        # VOC pixel coords are 1-based inclusive. (v - 1) / size on ALL
+        # FOUR coords mirrors tensorflow_datasets' voc builder
+        # (_get_example_objects: BBox((ymin-1)/h, ..., (ymax-1)/h)) —
+        # the exact pipeline the reference trains on. A geometrically
+        # "truer" inclusive-extent form would divide the max coords raw,
+        # but parity with the reference outranks it; do not "fix".
         xmin = (float(bb.find("xmin").text) - 1.0) / width
         ymin = (float(bb.find("ymin").text) - 1.0) / height
         xmax = (float(bb.find("xmax").text) - 1.0) / width

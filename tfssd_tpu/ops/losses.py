@@ -65,13 +65,17 @@ def confidence_loss(
     actual_labels: Array,   # (B, N, L) one-hot, bg = column 0
     pred_logits: Array,     # (B, N, L)
     neg_pos_ratio: int = 3,
+    positive: Array = None,  # (B, N) bool; derived from labels if None
 ) -> Array:
     """Per-batch scalar conf loss with hard-negative mining
-    (reference CustomLoss.conf_loss_fn)."""
+    (reference CustomLoss.conf_loss_fn). `positive` lets ssd_losses pass
+    ONE positive-anchor mask to both loss terms — a future change to the
+    positive definition (e.g. an ignore band) then has a single home."""
     logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
     ce = -jnp.sum(actual_labels * logp, axis=-1)          # (B, N)
 
-    positive = jnp.sum(actual_labels[..., 1:], axis=-1) > 0.5  # (B, N)
+    if positive is None:
+        positive = jnp.sum(actual_labels[..., 1:], axis=-1) > 0.5  # (B, N)
     pos_count = jnp.sum(positive, axis=-1)                     # (B,)
 
     neg_ce = jnp.where(positive, -jnp.inf, ce)  # positives never selected as neg
@@ -98,7 +102,8 @@ def ssd_losses(
     positive = jnp.sum(actual_labels[..., 1:], axis=-1) > 0.5
     loc = localization_loss(actual_deltas, pred_deltas, positive,
                             loc_loss_alpha)
-    conf = confidence_loss(actual_labels, pred_logits, neg_pos_ratio)
+    conf = confidence_loss(actual_labels, pred_logits, neg_pos_ratio,
+                           positive=positive)
     total = loc + conf
     return total, {
         "loss": total,

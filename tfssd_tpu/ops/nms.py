@@ -5,8 +5,10 @@ Reference parity: utils/bbox_utils.py:non_max_suppression +
 models/decoder.py (SURVEY.md §2 #6, #8): per-class greedy suppression at
 IoU > nms_iou_threshold, at most `max_detections_per_class` survivors per
 class, globally truncated to the `max_total_detections` highest-scoring
-boxes, returned as (boxes, scores, classes, valid_count) with class ids
-shifted +1 for the background offset.
+boxes, returned as (boxes, scores, classes, valid_count). Class ids here
+are 0-BASED foreground indices (-1 on padding); the +1 background shift
+the reference applies lives in models/decoder.py, the only caller that
+feeds evaluation.
 
 TPU-first design: `combined_non_max_suppression` has no XLA/TPU kernel, so
 this is a fixed-shape formulation:
@@ -171,20 +173,30 @@ def _greedy_keep_blocked(boxes: Array, valid: Array, iou_threshold: float,
     return jnp.concatenate(kept_blocks, axis=1)[:, :k]
 
 
-def _merge_detections(kept_scores, gather_boxes, num_classes: int, k: int,
-                      max_total_detections: int) -> NMSResult:
+def _merge_detections(top_scores, keep, gather_boxes, num_classes: int,
+                      k: int, max_total_detections: int) -> NMSResult:
     """Global cross-class merge: flatten per-class survivors, take the
-    top max_total by score, mask/pad the padding rows. `kept_scores` is
-    (B, C, K) with suppressed rows zeroed; `gather_boxes(sel)` returns
-    the (B, total, 4) boxes for flat selection indices `sel`."""
-    b = kept_scores.shape[0]
-    flat_scores = kept_scores.reshape(b, -1)            # (B, C*K)
+    top max_total by score, mask/pad the padding rows. `top_scores` is
+    (B, C, K) raw candidate scores and `keep` the (B, C, K) bool
+    survivor mask; `gather_boxes(sel)` returns the (B, total, 4) boxes
+    for flat selection indices `sel`.
+
+    Suppressed rows are sunk with a -inf sentinel and validity is the
+    GATHERED keep mask, not a score sign test: scores may legitimately
+    be negative (tf.image.combined_non_max_suppression semantics allow
+    any score_threshold, e.g. -inf with margin/logit scores), and an
+    earlier `score > 0` validity test let zeroed suppressed rows
+    outrank kept negative-score detections."""
+    b = top_scores.shape[0]
+    flat_keep = keep.reshape(b, -1)                     # (B, C*K)
+    neg = jnp.asarray(-jnp.inf, top_scores.dtype)
+    flat_scores = jnp.where(flat_keep, top_scores.reshape(b, -1), neg)
     flat_classes = jnp.broadcast_to(
         jnp.arange(num_classes)[:, None], (num_classes, k)).reshape(-1)
 
     total = min(max_total_detections, num_classes * k)
     final_scores, sel = jax.lax.top_k(flat_scores, total)
-    ok = final_scores > 0.0
+    ok = jnp.take_along_axis(flat_keep, sel, axis=1)
     final_scores = jnp.where(ok, final_scores, 0.0)
     final_classes = jnp.where(ok, flat_classes[sel], -1)
     final_boxes = jnp.where(ok[..., None], gather_boxes(sel), 0.0)
@@ -275,7 +287,7 @@ def combined_nms(
             lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
 
     return _merge_detections(
-        jnp.where(keep, top_scores, 0.0),
+        top_scores, keep,
         lambda sel: jnp.take_along_axis(
             top_boxes.reshape(b, -1, 4), sel[..., None], axis=1),
         num_classes, k, max_total_detections)
@@ -319,7 +331,7 @@ def combined_nms_planes(
         lambda io, v: _greedy_keep(io, v, iou_threshold)))(ious, valid)
 
     return _merge_detections(
-        jnp.where(keep, top_scores, 0.0),
+        top_scores, keep,
         lambda sel: jnp.stack(
             [jnp.take_along_axis(p.reshape(b, -1), sel, axis=1)
              for p in tp], axis=-1),
