@@ -57,7 +57,10 @@ def adjust_brightness(img: Array, delta: Array) -> Array:
 
 
 def adjust_contrast(img: Array, factor: Array) -> Array:
-    mean = jnp.mean(img, axis=(-3, -2, -1), keepdims=True)
+    # Per-CHANNEL mean pivot, as tf.image.adjust_contrast (the reference
+    # op) does — a global-mean pivot would shift channel balance (color
+    # cast) whenever channel means differ.
+    mean = jnp.mean(img, axis=(-3, -2), keepdims=True)
     return (img - mean) * factor + mean
 
 
