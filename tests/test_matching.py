@@ -128,3 +128,25 @@ def test_force_match_deterministic_with_padded_gts():
     pos_anchors = jnp.sum(onehot[0, :, 1:], axis=-1) > 0.5
     # every positive anchor's matched class is 3 (the only real gt)
     assert float(jnp.sum(onehot[0, :, 3])) == float(jnp.sum(pos_anchors))
+
+
+def test_force_match_ignores_degenerate_labeled_gt():
+    # A zero-area gt row that still carries a label (corrupt annotation,
+    # or a box zeroed without zeroing its label) has an all-zero IoU
+    # column: argmax lands on anchor 0, and an unguarded force step
+    # would mark anchor 0 a spurious positive of that class. Both
+    # matcher paths must refuse to force it (module invariant: a
+    # degenerate box can never be matched).
+    from tfssd_tpu.ops.kernels.match_encode import match_batch_pallas
+
+    cfg = get_hyper_params("mobilenet_v2", max_gt_boxes=8,
+                           force_match_for_gt=True)
+    anchors = jnp.asarray(box_ops.generate_anchors(cfg))
+    gt = jnp.zeros((1, 8, 4))          # all rows zero-area
+    labels = jnp.zeros((1, 8), jnp.int32).at[0, 0].set(5)  # labeled junk
+    for name, fn in (("jnp", matching.match_batch),
+                     ("pallas", lambda a, b, l, c: match_batch_pallas(
+                         a, b, l, c, interpret=True))):
+        deltas, onehot = fn(anchors, gt, labels, cfg)
+        assert float(jnp.sum(onehot[0, :, 1:])) == 0.0, name
+        assert float(jnp.sum(jnp.abs(deltas))) == 0.0, name

@@ -10,6 +10,14 @@ Each scene: uniform-noise background, 1..max_objects axis-aligned filled
 rectangles; the label is the rectangle's color bin (so the task is
 learnable: class == dominant color), boxes are the exact rectangle
 extents.
+
+Rectangles are painted in order WITHOUT overlap handling, so a later
+rectangle can partially (or rarely fully) overdraw an earlier one whose
+gt box/label are kept — VOC-style occlusion noise, deliberate: real
+detection data is full of occluded-but-annotated objects, and every
+recorded mAP in this repo (ARCHITECTURE.md) was measured on exactly
+this distribution, so the generator must stay seed-stable. The
+consequence for tests: overfit experiments assert small loss, not zero.
 """
 
 from __future__ import annotations

@@ -162,26 +162,29 @@ def match_encode_pallas(
         from tfssd_tpu.ops import boxes as box_ops
 
         def _best_anchor(bb, bl):
-            # bit-identical to match_single's masked argmax over anchors
+            # bit-identical to match_single's masked argmax over anchors;
+            # can_force mirrors its all-zero-IoU degenerate-gt guard
             iou = box_ops.iou_matrix(anchors_orig, bb)       # (N, G)
             iou = jnp.where((bl > 0)[None, :], iou, 0.0)
-            return jnp.argmax(iou, axis=0)                   # (G,)
+            can_force = (bl > 0) & (jnp.max(iou, axis=0) > 0.0)
+            return jnp.argmax(iou, axis=0), can_force        # (G,), (G,)
 
-        best_anchor = jax.vmap(_best_anchor)(gt_boxes, gt_labels)
+        best_anchor, can_force = jax.vmap(_best_anchor)(gt_boxes, gt_labels)
         deltas, labels = jax.vmap(
-            lambda d, l, bb, bl, ba: _force_match_single(
-                d, l, bb, bl, ba, anchors_orig, config)
-        )(deltas, labels, gt_boxes, gt_labels, best_anchor)
+            lambda d, l, bb, bl, ba, cf: _force_match_single(
+                d, l, bb, bl, ba, cf, anchors_orig, config)
+        )(deltas, labels, gt_boxes, gt_labels, best_anchor, can_force)
     return deltas, labels
 
 
 def _force_match_single(deltas: Array, labels: Array, gt_boxes: Array,
                         gt_labels: Array, best_anchor: Array,
-                        anchors: Array, config: SSDConfig
-                        ) -> Tuple[Array, Array]:
+                        can_force: Array, anchors: Array,
+                        config: SSDConfig) -> Tuple[Array, Array]:
     """Apply the paper's bipartite force-match to one image's kernel
     outputs. Same semantics as the force branch of
-    ops.matching.match_single: each VALID gt claims its best anchor;
+    ops.matching.match_single: each VALID gt with nonzero best IoU
+    claims its best anchor (`can_force` carries both conditions);
     duplicate claims resolve to the smallest gt index (commutative min —
     deterministic under parallel scatter); claimed anchors become
     positive with the claiming gt's label and re-encoded deltas."""
@@ -189,8 +192,7 @@ def _force_match_single(deltas: Array, labels: Array, gt_boxes: Array,
 
     g = gt_labels.shape[0]
     n = labels.shape[0]
-    gt_valid = gt_labels > 0
-    claiming = jnp.where(gt_valid, jnp.arange(g), g)
+    claiming = jnp.where(can_force, jnp.arange(g), g)
     claimed = jnp.full((n,), g, jnp.int32).at[best_anchor].min(claiming)
     has_claim = claimed < g
     cg = jnp.minimum(claimed, g - 1)

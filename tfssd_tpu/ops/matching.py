@@ -57,11 +57,16 @@ def match_single(
         # duplicate indices (unspecified winner). Use commutative
         # reductions instead: OR (max) for the forced mask, MIN over
         # claiming gt indices for a deterministic tie-break.
+        # A gt whose IoU column is all zero (zero-area/out-of-frame box
+        # that still carries a label) must NOT force: its argmax is a
+        # meaningless anchor 0 and the module invariant says degenerate
+        # boxes are never matched.
         g = gt_boxes.shape[0]
+        can_force = gt_valid & (jnp.max(iou, axis=0) > 0.0)    # (G,)
         best_anchor = jnp.argmax(iou, axis=0)  # (G,)
-        forced = jnp.zeros_like(positive).at[best_anchor].max(gt_valid)
+        forced = jnp.zeros_like(positive).at[best_anchor].max(can_force)
         positive = positive | forced
-        claiming = jnp.where(gt_valid, jnp.arange(g), g)
+        claiming = jnp.where(can_force, jnp.arange(g), g)
         claimed_gt = jnp.full_like(best_gt, g).at[best_anchor].min(claiming)
         best_gt = jnp.where(claimed_gt < g, claimed_gt, best_gt)
 

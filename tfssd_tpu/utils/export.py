@@ -5,9 +5,25 @@ weights file (`trained/ssd_{backbone}_model_weights.h5`, trainer.py
 `ModelCheckpoint`), which still requires the full Python model code to
 serve. The TPU-native artifact is stronger: `jax.export` serializes the
 ENTIRE jitted predict function (forward + decode + NMS, weights baked in
-as constants) as versioned StableHLO, so a serving process can run
-detection with jax installed but ZERO framework code — and the same
-artifact lowers for both CPU and TPU.
+as constants) as versioned StableHLO — no model code, no flax, no
+weights file — and the same artifact lowers for both CPU and TPU.
+
+Serving dependency, precisely: deserialization must reconstruct the
+output pytree, whose treedef names `tfssd_tpu.ops.nms.NMSResult` — so a
+serving process either imports this module (which pulls only
+jax/numpy-level deps, not flax) or registers its own 4-field namedtuple
+under the same serialized name:
+
+    from typing import NamedTuple
+    import jax.numpy as jnp
+    from jax import export as jax_export
+    class NMSResult(NamedTuple):
+        boxes: jnp.ndarray; scores: jnp.ndarray
+        classes: jnp.ndarray; valid: jnp.ndarray
+    jax_export.register_namedtuple_serialization(
+        NMSResult, serialized_name="tfssd_tpu.ops.nms.NMSResult")
+
+With that registration, serving truly needs jax alone.
 
 Usage:
     from tfssd_tpu.utils.export import export_predict, load_exported

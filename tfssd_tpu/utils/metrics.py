@@ -42,9 +42,12 @@ class MetricsLogger:
 
     def log(self, step: int, scalars: Dict[str, float],
             prefix: str = "") -> None:
-        rec = {"step": int(step), "time": time.time()}
-        for k, v in scalars.items():
-            rec[f"{prefix}{k}"] = float(v)
+        # Scalars first, bookkeeping last: a scalar named "step"/"time"
+        # under an empty prefix must not clobber the record's step index
+        # or wall-clock timestamp (offline tooling greps them).
+        rec = {f"{prefix}{k}": float(v) for k, v in scalars.items()}
+        rec["step"] = int(step)
+        rec["time"] = time.time()
         self._f.write(json.dumps(rec) + "\n")
         if self._tb is not None:
             import tensorflow as tf
