@@ -96,7 +96,13 @@ def bench_inference(batch_size: int = 256, iters: int = 20,
 
 def bench_latency_p50(batch_size: int = 1, iters: int = 50,
                       backbone: str = "mobilenet_v2"):
-    """Median individually-synchronized predict latency (seconds)."""
+    """(p50, pipelined) seconds per call, BOTH measured on the same
+    unsharded single-device predict at the exact requested batch — so
+    the tunnel_suspect cross-check (p50 below the pipelined bound is
+    physically impossible) compares commensurate quantities.
+    bench_inference would round the batch up to the device count and
+    shard it, which is the wrong shape for a batch-1 latency config on
+    a multi-device platform."""
     from tfssd_tpu import get_hyper_params
     from tfssd_tpu.models import get_model, init_model, make_predict_fn
     from tfssd_tpu.ops.boxes import generate_anchors
@@ -110,7 +116,9 @@ def bench_latency_p50(batch_size: int = 1, iters: int = 50,
         np.random.default_rng(0).uniform(-1, 1,
                                          (batch_size, cfg.img_size,
                                           cfg.img_size, 3)), jnp.float32)
-    return _time_fn(predict, (variables, images), iters, streaming=False)
+    p50 = _time_fn(predict, (variables, images), iters, streaming=False)
+    piped = _time_fn(predict, (variables, images), iters, streaming=True)
+    return p50, piped
 
 
 def bench_latency_device(batch_size: int = 1,
@@ -267,8 +275,7 @@ def main():
         # axon tunnel (CLAUDE.md); cross-check the p50 against the
         # pipelined per-call bound — a p50 below the pipelined bound is
         # physically impossible and marks the number tunnel-suspect.
-        img_s, piped = bench_inference(1, max(args.iters, 50))
-        p50 = bench_latency_p50(1, max(args.iters, 50))
+        p50, piped = bench_latency_p50(1, max(args.iters, 50))
         device = bench_latency_device(1)
         print(json.dumps({"metric": "infer_b1_latency_p50",
                           "value": round(p50 * 1e3, 3), "unit": "ms",
@@ -373,10 +380,10 @@ def main():
         # 24,564-anchor matching + VGG16-512 fwd/bwd. b16 no-remat fits
         # v5e's 16 GB (measured); remat is the documented fallback for
         # bigger batches.
+        remat = False
         try:
             img_s, dt = bench_train(args.batch_size or 16, args.iters,
                                     backbone="vgg16_512", remat=False)
-            remat = False
         except Exception as e:
             # Only an HBM OOM justifies the remat fallback; anything
             # else (tunnel flake, regression) must surface, not be
@@ -385,9 +392,15 @@ def main():
             if not ("RESOURCE_EXHAUSTED" in msg
                     or "Ran out of memory" in msg or "hbm" in msg):
                 raise
+            remat = True
+        if remat:
+            # Retry OUTSIDE the except block: the caught exception's
+            # traceback pins the failed attempt's frame (replicated
+            # state + Adam moments still resident in HBM); Python drops
+            # `e` when the except clause exits, freeing that headroom
+            # before the remat compile.
             img_s, dt = bench_train(args.batch_size or 16, args.iters,
                                     backbone="vgg16_512", remat=True)
-            remat = True
         print(json.dumps({"metric": "train_ssd512_images_per_sec",
                           "value": round(img_s, 2), "unit": "images/sec",
                           "remat": remat,

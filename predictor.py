@@ -232,9 +232,14 @@ def main():
             results.append(predict_cached(variables, data, idx))
         jax.block_until_ready([r.scores for r in results])
         dt = time.perf_counter() - t0
-        if n_batches > 1:
-            print(f"inference: {(n_batches - 1) * bsz / dt:.1f} img/s "
-                  f"(device-cached, batch={bsz}, {n_batches} batches)")
+        # Count only REAL rows in the timed window (batches 1..n-1): the
+        # final batch is padded to a multiple of bsz and padding rows
+        # would overstate img/s when limit_n % bsz != 0.
+        timed_real = max(0, limit_n - bsz)
+        if n_batches > 1 and timed_real:
+            print(f"inference: {timed_real / dt:.1f} img/s "
+                  f"(device-cached, batch={bsz}, {n_batches} batches, "
+                  f"padded tail excluded from the count)")
         for b, res in enumerate(results):
             nv = min(bsz, limit_n - b * bsz)
             dets.extend(detections_from_nms_result(res, num_valid=nv))

@@ -101,5 +101,11 @@ class StepTimer:
             "p99_s": float(np.percentile(ts, 99)),
         }
         if items_per_step:
-            out["items_per_sec"] = items_per_step / out["p50_s"]
+            # Throughput from TOTAL wall-clock, not the p50: per-step
+            # block_until_ready timings over the axon tunnel can read
+            # physics-violating sub-ms values (CLAUDE.md), and a p50 of
+            # those prints fantasy img/s. The sum of tick intervals IS
+            # the measured window's wall-clock, robust to any per-tick
+            # weirdness.
+            out["items_per_sec"] = items_per_step * ts.size / float(ts.sum())
         return out

@@ -167,10 +167,28 @@ def main():
             f"training dataset ({len(train_ds)} examples) is smaller than "
             f"--batch-size {args.batch_size}; full batches are required "
             f"(static shapes) — lower the batch size")
+    # The device-cache decision must precede steps_per_epoch: the cached
+    # path wraps its index permutation so an explicit --steps-per-epoch
+    # may exceed one dataset pass, but the streamed path iterates the
+    # dataset once per epoch — there a too-large override must be
+    # CLAMPED, or epochs silently truncate while the e2e throughput and
+    # resume-epoch math still assume the full count.
+    est_bytes = (len(train_ds) + len(val_ds)) * cfg.img_size ** 2 * 3
+    device_cache = (args.device_cache == "on" or
+                    (args.device_cache == "auto" and est_bytes <= 6e9))
+    if args.device_cache == "auto" and not device_cache:
+        print(f"device cache off: dataset ~{est_bytes/1e9:.1f} GB "
+              f"exceeds the 6 GB auto threshold (--device-cache on to "
+              f"force)")
     # floor, matching the loader's drop_remainder: ceil would overcount
     # steps, drifting resume-epoch math and the LR boundary epochs.
-    steps_per_epoch = args.steps_per_epoch or max(
-        len(train_ds) // args.batch_size, 1)
+    one_pass_steps = max(len(train_ds) // args.batch_size, 1)
+    steps_per_epoch = args.steps_per_epoch or one_pass_steps
+    if not device_cache and steps_per_epoch > one_pass_steps:
+        print(f"steps_per_epoch clamped to {one_pass_steps} (one dataset "
+              f"pass; the streamed path cannot wrap — use --device-cache "
+              f"on for longer epochs)")
+        steps_per_epoch = one_pass_steps
     spc = max(1, min(args.steps_per_call, steps_per_epoch))
     if steps_per_epoch % spc:
         steps_per_epoch -= steps_per_epoch % spc
@@ -199,13 +217,6 @@ def main():
     # params+opt_state double-buffering in HBM. (Checkpointing is safe:
     # save_from_device dispatches an on-device copy before the next
     # step's donation can touch the buffers.)
-    est_bytes = (len(train_ds) + len(val_ds)) * cfg.img_size ** 2 * 3
-    device_cache = (args.device_cache == "on" or
-                    (args.device_cache == "auto" and est_bytes <= 6e9))
-    if args.device_cache == "auto" and not device_cache:
-        print(f"device cache off: dataset ~{est_bytes/1e9:.1f} GB "
-              f"exceeds the 6 GB auto threshold (--device-cache on to "
-              f"force)")
     if device_cache:
         from tfssd_tpu.train import (
             make_cached_multi_eval_step,
@@ -299,8 +310,8 @@ def main():
         if device_cache:
             # An explicit --steps-per-epoch may exceed one pass over the
             # dataset; concatenate fresh permutations until the epoch's
-            # index budget is covered (the streamed path reshuffles per
-            # pass the same way via its epoch loop).
+            # index budget is covered. (The streamed path cannot wrap —
+            # it gets clamped to one pass at startup instead.)
             need = steps_per_epoch * args.batch_size
             rng_ep = np.random.default_rng(args.seed * 10_000 + epoch)
             idx_epoch = np.concatenate(
@@ -324,6 +335,7 @@ def main():
             trace_cm = prof.trace(log_path)
             trace_cm.__enter__()
         epoch_t0 = time.perf_counter()
+        epoch_steps = 0
         for chunk_idx in range(steps_per_epoch // spc):
             step_in_epoch = chunk_idx * spc
             if device_cache:
@@ -338,8 +350,11 @@ def main():
                 try:
                     device_batch, _ = next(it)
                 except StopIteration:
+                    # can't happen after the one-pass clamp unless the
+                    # dataset shrank mid-run; count only real steps
                     break
                 state, metrics = train_step(state, device_batch, rng)
+            epoch_steps += spc
             # Steps dispatch asynchronously; only sync metrics to host at
             # the logging cadence (each float() is a device round trip).
             # Multi-step dispatches return metrics stacked (spc,); log
@@ -354,7 +369,7 @@ def main():
                 log.log(int(jax.device_get(state.step)), m, prefix="train/")
         jax.block_until_ready(state.params)
         if train_start is not None:
-            total_images += steps_per_epoch * args.batch_size
+            total_images += epoch_steps * args.batch_size
         if profiling:
             trace_cm.__exit__(None, None, None)
             print(f"profiler trace written to {log_path}")
@@ -392,7 +407,8 @@ def main():
                 for vb, (device_batch, num_valid) in enumerate(prefetch(
                         to_device(batch_examples(
                             val_ds, args.batch_size, cfg.max_gt_boxes,
-                            drop_remainder=False)),
+                            drop_remainder=False,
+                            workers=args.workers)),
                         depth=args.prefetch_depth)):
                     if args.val_limit is not None and vb >= args.val_limit:
                         break
