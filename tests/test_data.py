@@ -7,6 +7,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tfssd_tpu.data import (
     SyntheticDataset,
@@ -411,3 +412,56 @@ def test_make_datasets_voc_without_root_errors():
                               synthetic_size=8)
     with _pytest.raises(SystemExit, match="data-root"):
         make_datasets(args, img_size=32)
+
+
+@pytest.mark.slow
+def test_voc_end_to_end_train_and_eval_step():
+    # VOC data has never flowed through the TRAIN step in this
+    # environment (no VOCdevkit on disk): close the gap with a tiny
+    # generated VOCdevkit driven through the full pipeline — VOCDataset
+    # decode/resize -> padded batching -> jitted train step (augment +
+    # match + loss + Adam) -> eval step -> predict/decode/NMS. Uses the
+    # shrunken mobilenet config so the CPU compile stays ~1 min.
+    import jax
+    import tempfile as _tempfile
+
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.data import VOCDataset
+    from tfssd_tpu.models import get_model, make_predict_fn
+    from tfssd_tpu.ops.boxes import generate_anchors
+    from tfssd_tpu.train import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+        preprocess_images,
+    )
+
+    with _tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "VOC2007")
+        _write_fake_voc(root, [f"{i:06d}" for i in range(1, 9)], size=96)
+        ds = VOCDataset(root, "trainval", image_size=96)
+        assert len(ds) == 8
+        cfg = get_hyper_params(
+            "mobilenet_v2", img_size=96,
+            feature_map_shapes=(6, 3, 2, 1, 1, 1), max_gt_boxes=4)
+        model = get_model(cfg)
+        anchors = generate_anchors(cfg)
+        opt = make_optimizer(1e-3)
+        state = create_train_state(model, jax.random.key(0), opt)
+        batch = next(batch_examples(ds, 8, cfg.max_gt_boxes,
+                                    shuffle_seed=0, workers=2))
+        db = {k: jnp.asarray(batch[k])
+              for k in ("image", "boxes", "labels")}
+        step = jax.jit(make_train_step(model, anchors, opt, augment=True))
+        new_state, metrics = step(state, db, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["num_pos"]) > 0  # the cat boxes matched
+        ev = jax.jit(make_eval_step(model, anchors))(new_state, db)
+        assert np.isfinite(float(ev["loss"]))
+        predict = jax.jit(make_predict_fn(model, anchors, cfg))
+        res = predict({"params": new_state.params,
+                       "batch_stats": new_state.batch_stats},
+                      preprocess_images(db["image"]))
+        assert res.boxes.shape[0] == 8
+        assert np.all(np.asarray(res.boxes) >= 0)
