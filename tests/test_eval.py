@@ -103,3 +103,105 @@ def test_detections_from_nms_result():
     dets = detections_from_nms_result(R())
     assert len(dets) == 2 and dets[0]["boxes"].shape == (5, 4)
     assert len(detections_from_nms_result(R(), num_valid=1)) == 1
+
+
+def test_map_matches_independent_naive_implementation():
+    # Property fuzz: evaluate_predictions vs a from-scratch naive VOC
+    # evaluator written independently (plain loops, own 11-point
+    # interpolation). Random scenes with jittered true detections,
+    # spurious detections, difficult gts and empty images.
+    def naive_map(gts, dets, num_classes, iou_t=0.5):
+        def iou(a, b):
+            iy0, ix0 = max(a[0], b[0]), max(a[1], b[1])
+            iy1, ix1 = min(a[2], b[2]), min(a[3], b[3])
+            inter = max(iy1 - iy0, 0.0) * max(ix1 - ix0, 0.0)
+            area = lambda r: max(r[2] - r[0], 0.0) * max(r[3] - r[1], 0.0)
+            u = area(a) + area(b) - inter
+            return inter / u if u > 0 else 0.0
+
+        aps = []
+        for cls in range(1, num_classes + 1):
+            npos = 0
+            used = {}
+            for i, gt in enumerate(gts):
+                idxs = [j for j, l in enumerate(gt["labels"]) if l == cls]
+                used[i] = {j: False for j in idxs}
+                npos += sum(1 for j in idxs if not gt["difficult"][j])
+            rows = []
+            for i, det in enumerate(dets):
+                for b, s, c in zip(det["boxes"], det["scores"],
+                                   det["classes"]):
+                    if c == cls and s > 0:
+                        rows.append((float(s), i, [float(x) for x in b]))
+            rows.sort(key=lambda r: -r[0])
+            tps, fps = [], []
+            for s, i, box in rows:
+                cand = [(j, iou(box, [float(x) for x in gts[i]["boxes"][j]]))
+                        for j in used[i]]
+                best_j, best_iou = -1, -1.0
+                for j, o in cand:
+                    if o > best_iou:
+                        best_j, best_iou = j, o
+                if best_iou >= iou_t:
+                    if gts[i]["difficult"][best_j]:
+                        continue
+                    if used[i][best_j]:
+                        tps.append(0); fps.append(1)
+                    else:
+                        used[i][best_j] = True
+                        tps.append(1); fps.append(0)
+                else:
+                    tps.append(0); fps.append(1)
+            if npos == 0:
+                continue
+            ap, tp_c, fp_c = 0.0, 0, 0
+            prec_rec = []
+            for t, f in zip(tps, fps):
+                tp_c += t; fp_c += f
+                prec_rec.append((tp_c / (tp_c + fp_c), tp_c / npos))
+            for thr in [k / 10.0 for k in range(11)]:
+                best = 0.0
+                for p, r in prec_rec:
+                    if r >= thr - 1e-12 and p > best:
+                        best = p
+                ap += best / 11.0
+            aps.append(ap)
+        return sum(aps) / len(aps) if aps else 0.0
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        n_img, n_cls = 6, 4
+        gts, dets = [], []
+        for _ in range(n_img):
+            g = int(rng.integers(0, 5))
+            boxes, labels, diff = [], [], []
+            for _ in range(g):
+                y0, x0 = rng.uniform(0, 0.6, 2)
+                h, w = rng.uniform(0.15, 0.35, 2)
+                boxes.append([y0, x0, min(y0 + h, 1), min(x0 + w, 1)])
+                labels.append(int(rng.integers(1, n_cls + 1)))
+                diff.append(bool(rng.uniform() < 0.2))
+            gts.append({"boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+                        "labels": np.asarray(labels, np.int32),
+                        "difficult": np.asarray(diff, bool)})
+            dboxes, dscores, dcls = [], [], []
+            for b, l in zip(boxes, labels):
+                if rng.uniform() < 0.8:  # jittered true detection
+                    jit = rng.uniform(-0.03, 0.03, 4)
+                    dboxes.append(np.clip(np.asarray(b) + jit, 0, 1))
+                    dscores.append(float(rng.uniform(0.3, 1.0)))
+                    dcls.append(l if rng.uniform() < 0.85
+                                else int(rng.integers(1, n_cls + 1)))
+            for _ in range(int(rng.integers(0, 3))):  # spurious
+                y0, x0 = rng.uniform(0, 0.7, 2)
+                dboxes.append([y0, x0, y0 + 0.2, x0 + 0.2])
+                dscores.append(float(rng.uniform(0.05, 0.9)))
+                dcls.append(int(rng.integers(1, n_cls + 1)))
+            dets.append({"boxes": np.asarray(dboxes,
+                                             np.float32).reshape(-1, 4),
+                         "scores": np.asarray(dscores, np.float32),
+                         "classes": np.asarray(dcls, np.int32)})
+        got = evaluate_predictions(gts, dets, num_classes=n_cls,
+                                   verbose=False)["map"]
+        want = naive_map(gts, dets, n_cls)
+        assert abs(got - want) < 1e-9, (trial, got, want)
