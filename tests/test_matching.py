@@ -150,3 +150,63 @@ def test_force_match_ignores_degenerate_labeled_gt():
         deltas, onehot = fn(anchors, gt, labels, cfg)
         assert float(jnp.sum(onehot[0, :, 1:])) == 0.0, name
         assert float(jnp.sum(jnp.abs(deltas))) == 0.0, name
+
+
+def test_match_batch_matches_numpy_oracle():
+    # Property fuzz: the in-jit matcher vs a from-scratch numpy oracle
+    # implementing the reference semantics (calculate_actual_outputs)
+    # with plain loops — threshold matching, first-best tie-break,
+    # variance-scaled center-form encoding, background one-hots.
+    import numpy as onp
+
+    cfg = get_hyper_params("mobilenet_v2", max_gt_boxes=8)
+    anchors = onp.asarray(box_ops.generate_anchors(cfg))
+    rng = onp.random.default_rng(4)
+    B, G, N, L = 3, 8, anchors.shape[0], cfg.total_labels
+    boxes = onp.zeros((B, G, 4), onp.float32)
+    labels = onp.zeros((B, G), onp.int32)
+    for i in range(B):
+        for j in range(int(rng.integers(0, G))):
+            y0, x0 = rng.uniform(0, 0.7, 2)
+            h, w = rng.uniform(0.05, 0.3, 2)
+            boxes[i, j] = [y0, x0, min(y0 + h, 1), min(x0 + w, 1)]
+            labels[i, j] = rng.integers(1, L)
+
+    def iou(a, b):
+        iy0, ix0 = max(a[0], b[0]), max(a[1], b[1])
+        iy1, ix1 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(iy1 - iy0, 0.0) * max(ix1 - ix0, 0.0)
+        area = lambda r: max(r[2] - r[0], 0.0) * max(r[3] - r[1], 0.0)
+        u = area(a) + area(b) - inter
+        return inter / u if u > 0 else 0.0
+
+    want_deltas = onp.zeros((B, N, 4), onp.float32)
+    want_labels = onp.zeros((B, N), onp.int32)
+    for i in range(B):
+        for a_idx in range(N):
+            best_iou, best_g = 0.0, 0
+            for g in range(G):
+                if labels[i, g] <= 0:
+                    continue
+                o = iou(anchors[a_idx], boxes[i, g])
+                if o > best_iou:  # strict >: first best wins ties
+                    best_iou, best_g = o, g
+            if best_iou > cfg.iou_threshold:
+                want_labels[i, a_idx] = labels[i, best_g]
+                ay0, ax0, ay1, ax1 = anchors[a_idx]
+                gy0, gx0, gy1, gx1 = boxes[i, best_g]
+                acy, acx = (ay0 + ay1) / 2, (ax0 + ax1) / 2
+                ah, aw = ay1 - ay0, ax1 - ax0
+                gcy, gcx = (gy0 + gy1) / 2, (gx0 + gx1) / 2
+                gh, gw = gy1 - gy0, gx1 - gx0
+                v = cfg.variances
+                want_deltas[i, a_idx] = [
+                    (gcy - acy) / ah / v[0], (gcx - acx) / aw / v[1],
+                    onp.log(gh / ah) / v[2], onp.log(gw / aw) / v[3]]
+
+    got_deltas, got_onehot = matching.match_batch(
+        jnp.asarray(anchors), jnp.asarray(boxes), jnp.asarray(labels), cfg)
+    got_labels = onp.argmax(onp.asarray(got_onehot), axis=-1)
+    onp.testing.assert_array_equal(got_labels, want_labels)
+    onp.testing.assert_allclose(onp.asarray(got_deltas), want_deltas,
+                                atol=2e-5)
