@@ -203,7 +203,7 @@ def main():
         host, n_real = stage_arrays(
             dataset, cfg.max_gt_boxes, workers=args.workers,
             pad_to_multiple=args.batch_size)
-        # Flat (N, S*S*3) staging: see train._gather_rows — a 4-D u8
+        # Flat (N, S*S*3) staging: see train.gather_rows — a 4-D u8
         # gather operand makes XLA relayout the whole resident split
         # inside the jit (dataset-sized extra copies).
         from tfssd_tpu.train import flatten_images

@@ -80,6 +80,33 @@ def test_negative_scores_with_permissive_threshold():
     assert np.all(np.asarray(r.scores[0, 2:]) == 0.0)
 
 
+def test_merge_kept_minus_inf_outranks_suppressed_sentinels():
+    # A kept row whose raw score is exactly -inf ties with the -inf
+    # suppression sentinels in a naive top_k key (top_k breaks ties by
+    # position, so the kept row could sort behind a suppressed row and
+    # be dropped). The merge's sort key clamps kept scores to
+    # >= -finfo.max, so the kept row must survive, rank last among kept
+    # rows, and report its exact raw score. combined_nms itself can't
+    # reach this state (valid = score > threshold excludes -inf), so
+    # drive _merge_detections directly.
+    top_scores = jnp.asarray(
+        [[[0.9, -jnp.inf, 0.5, 0.2]]], jnp.float32)       # (1, 1, 4)
+    # row 1 (-inf) KEPT; rows 2 and 3 suppressed -> sentinel ties sit
+    # at positions AFTER the kept -inf row, the bad ordering case.
+    keep = jnp.asarray([[[True, True, False, False]]])
+    boxes = jnp.tile(jnp.asarray([0.1, 0.1, 0.2, 0.2], jnp.float32),
+                     (1, 4, 1))
+    r = nms._merge_detections(
+        top_scores, keep, lambda sel: jnp.take_along_axis(
+            boxes, sel[..., None], axis=1), num_classes=1, k=4,
+        max_total_detections=4)
+    assert int(r.valid[0]) == 2
+    assert np.asarray(r.scores[0, 0]) == np.float32(0.9)
+    assert np.isneginf(np.asarray(r.scores[0, 1]))
+    assert np.all(np.asarray(r.classes[0, :2]) == 0)
+    assert np.all(np.asarray(r.classes[0, 2:]) == -1)
+
+
 def test_padding_rows_are_marked():
     boxes = [[0.1, 0.1, 0.5, 0.5]]
     scores = [[0.9]]

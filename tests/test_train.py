@@ -192,7 +192,7 @@ def test_cached_step_matches_streamed_step():
     # ship only the array keys (trainer.py does the same): stage_arrays
     # also returns host-side ids/difficult metadata that can't be jitted.
     # Images ship FLAT (N, S*S*3) as trainer.py stages them (the
-    # layout-proof gather shape); _gather_rows reshapes per batch.
+    # layout-proof gather shape); train.gather_rows reshapes per batch.
     data = shard_batch(mesh, flatten_images({
         k: data_host[k] for k in ("image", "boxes", "labels")}))
     rng = jax.random.key(9)
@@ -219,7 +219,7 @@ def test_cached_step_matches_streamed_step():
         state, data, jnp.asarray(idx))
     np.testing.assert_allclose(float(evc["loss"]), float(ev["loss"]),
                                rtol=1e-5)
-    # 4-D (unflattened) resident data is still supported by _gather_rows
+    # 4-D (unflattened) resident data is still supported by train.gather_rows
     data4d = shard_batch(mesh, {
         k: data_host[k] for k in ("image", "boxes", "labels")})
     evc4 = jax.jit(make_cached_eval_step(model, anchors))(
@@ -229,8 +229,8 @@ def test_cached_step_matches_streamed_step():
 
     # trainer.py's one-dispatch validation pass: chunked multi-eval over
     # K index rows must equal K independent cached evals. K=2 with the
-    # default chunk of 4 also exercises the pad-to-multiple path (idx is
-    # padded by repeating the last row, metrics sliced back to K).
+    # default chunk of 4 is non-divisible, exercising lax.map's native
+    # remainder program (no padding involved).
     from tfssd_tpu.train import make_cached_multi_eval_step
 
     idx2 = np.stack([idx, idx[::-1].copy()])

@@ -186,18 +186,28 @@ def _merge_detections(top_scores, keep, gather_boxes, num_classes: int,
     be negative (tf.image.combined_non_max_suppression semantics allow
     any score_threshold, e.g. -inf with margin/logit scores), and an
     earlier `score > 0` validity test let zeroed suppressed rows
-    outrank kept negative-score detections."""
+    outrank kept negative-score detections.
+
+    The top_k SORT KEY clamps kept scores to >= -finfo.max so a kept
+    row whose raw score is exactly -inf still strictly outranks every
+    -inf suppression sentinel (top_k breaks ties by position, which
+    would otherwise let a suppressed row sort ahead of it); the
+    REPORTED score is regathered from the raw candidates so the output
+    stays exact even in that corner."""
     b = top_scores.shape[0]
     flat_keep = keep.reshape(b, -1)                     # (B, C*K)
+    flat_raw = top_scores.reshape(b, -1)
     neg = jnp.asarray(-jnp.inf, top_scores.dtype)
-    flat_scores = jnp.where(flat_keep, top_scores.reshape(b, -1), neg)
+    lo = jnp.asarray(jnp.finfo(top_scores.dtype).min, top_scores.dtype)
+    flat_key = jnp.where(flat_keep, jnp.maximum(flat_raw, lo), neg)
     flat_classes = jnp.broadcast_to(
         jnp.arange(num_classes)[:, None], (num_classes, k)).reshape(-1)
 
     total = min(max_total_detections, num_classes * k)
-    final_scores, sel = jax.lax.top_k(flat_scores, total)
+    _, sel = jax.lax.top_k(flat_key, total)
     ok = jnp.take_along_axis(flat_keep, sel, axis=1)
-    final_scores = jnp.where(ok, final_scores, 0.0)
+    final_scores = jnp.where(ok, jnp.take_along_axis(flat_raw, sel, axis=1),
+                             0.0)
     final_classes = jnp.where(ok, flat_classes[sel], -1)
     final_boxes = jnp.where(ok[..., None], gather_boxes(sel), 0.0)
     pad = max_total_detections - total
