@@ -31,6 +31,73 @@ import numpy as np
 
 TARGET_IMG_PER_S = 5000.0
 
+_HEADLINE_METRIC = "ssd300_mbv2_infer_images_per_sec_per_chip"
+
+
+def _probe_backend_once(timeout_s: int) -> tuple:
+    """(ok, detail) from ONE subprocess backend probe.
+
+    The axon tunnel's failure mode is a hang (jax.devices() spins in a
+    claim-retry nanosleep loop — CLAUDE.md), so the probe MUST run in a
+    subprocess that can be killed on timeout without taking this process
+    down. This is exactly the documented recovery probe
+    (`timeout 60 python -c "import jax; print(jax.devices())"`) in
+    harness form.
+    """
+    import subprocess
+    import sys
+    code = "import jax; print('PROBE_OK', len(jax.devices()))"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung past {timeout_s}s (wedged tunnel?)"
+    if proc.returncode == 0 and "PROBE_OK" in proc.stdout:
+        return True, proc.stdout.strip().split()[-1]
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return False, (tail[-1][-300:] if tail else f"rc={proc.returncode}")
+
+
+def ensure_backend_alive(probe_timeout_s: int = 90,
+                         backoffs=(30, 60, 120, 240)) -> str | None:
+    """Pre-flight: return None if the backend answers, else an error
+    string after bounded retries (~14 min worst case).
+
+    Round 4's driver bench died with rc=1 on `Unable to initialize
+    backend 'axon': UNAVAILABLE` — a wedged serving tunnel, a condition
+    that clears with time. Probe in a subprocess BEFORE this process
+    touches the backend (a failed in-process init can't be retried:
+    jax pins the platform), retrying with backoff so a recovering
+    tunnel still yields a real number instead of a lost round.
+    """
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return None                       # CPU is always available
+    attempts = len(backoffs) + 1
+    detail = ""
+    for i in range(attempts):
+        ok, detail = _probe_backend_once(probe_timeout_s)
+        if ok:
+            if i:
+                print(f"# backend probe recovered on attempt {i + 1}",
+                      flush=True)
+            return None
+        print(f"# backend probe {i + 1}/{attempts} failed: {detail}",
+              flush=True)
+        if i < len(backoffs):
+            time.sleep(backoffs[i])
+    return (f"axon backend unavailable after {attempts} probes "
+            f"(last: {detail})")
+
+
+def _emit_failure(error: str) -> None:
+    """The driver parses our LAST stdout line as JSON; a crash must
+    still produce one (round 4's record was simply absent — rc=1,
+    parsed null)."""
+    print(json.dumps({"metric": _HEADLINE_METRIC, "value": None,
+                      "unit": "images/sec/chip", "vs_baseline": None,
+                      "error": error[-600:]}), flush=True)
+
 
 def _time_fn(fn, args, iters: int, warmup: int = 3,
              streaming: bool = True) -> float:
@@ -239,19 +306,70 @@ def bench_nms_p50(batch_size: int = 1, iters: int = 50,
     return p50, piped
 
 
+def bench_nms_device(batch_size: int = 1, backbone: str = "mobilenet_v2",
+                     depths=(25, 100), reps: int = 5) -> float:
+    """PHYSICAL decode+NMS device latency (seconds) by the same
+    RTT-cancelling chain-slope method as bench_latency_device — the p50
+    the wall clock reports for these configs is tunnel-dominated
+    (VERDICT r4 weak #2: the NMS rows had no tunnel-independent
+    number). Each chained iteration's deltas consume the previous
+    result's scores, so XLA cannot overlap iterations; the slope over
+    two chain depths cancels the constant dispatch/RTT term exactly."""
+    from tfssd_tpu import get_hyper_params
+    from tfssd_tpu.models.decoder import decode_predictions
+    from tfssd_tpu.ops.boxes import generate_anchors
+
+    cfg = get_hyper_params(backbone)
+    anchors = jnp.asarray(generate_anchors(cfg))
+    rng = np.random.default_rng(0)
+    deltas = jnp.asarray(rng.normal(0, 0.5, (batch_size, cfg.total_anchors,
+                                             4)), jnp.float32)
+    logits = jnp.asarray(rng.normal(0, 2, (batch_size, cfg.total_anchors,
+                                           cfg.total_labels)), jnp.float32)
+
+    def chained(k):
+        def body(d, _):
+            res = decode_predictions(anchors, d, logits, cfg)
+            return d + (res.scores.sum() * 0).astype(d.dtype), ()
+
+        return jax.jit(
+            lambda dd: jax.lax.scan(body, dd, None, length=k)[0])
+
+    times = {}
+    for k in depths:
+        fn = chained(k)
+        jax.block_until_ready(fn(deltas))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(deltas))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    k1, k2 = depths
+    return (times[k2] - times[k1]) / (k2 - k1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="headline",
                    choices=("headline", "infer-b1", "train", "train-256",
                             "train-e2e", "vgg-train", "vgg-train-64",
-                            "vgg-infer", "ssd512-train",
-                            "ssd512-infer", "ssd512-nms", "all"))
+                            "vgg-infer", "ssd512-train", "ssd512-infer",
+                            "nms", "ssd512-nms", "all"))
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--pallas", action="store_true",
                    help="route the train configs through the Pallas "
                         "fused match+encode kernel (use_pallas=True)")
+    p.add_argument("--no-probe", action="store_true",
+                   help="skip the pre-flight backend probe (e.g. when "
+                        "the caller already holds the chip)")
     args = p.parse_args()
+    if not args.no_probe:
+        err = ensure_backend_alive()
+        if err is not None:
+            _emit_failure(err)
+            return
     # Warm-start jit compiles from the persistent XLA cache.
     from tfssd_tpu.utils.profiling import enable_persistent_compile_cache
     enable_persistent_compile_cache()
@@ -408,15 +526,40 @@ def main():
                                     f"{args.batch_size or 16}, bf16, "
                                     "24564 anchors, full in-jit "
                                     "augmentation (BASELINE #4 train)"}))
+    if args.config in ("nms", "all"):
+        p50, piped = bench_nms_p50(backbone="mobilenet_v2")
+        device = bench_nms_device(backbone="mobilenet_v2")
+        print(json.dumps({"metric": "ssd300_decode_nms_p50",
+                          "value": round(p50 * 1e3, 3), "unit": "ms",
+                          "pipelined_ms": round(piped * 1e3, 3),
+                          "device_ms": round(device * 1e3, 3),
+                          "tunnel_suspect": bool(p50 < piped),
+                          "config": "SSD300-MBv2 decode+NMS only, batch 1"
+                                    "; device_ms is the physical on-chip "
+                                    "per-call time (chain-slope, RTT "
+                                    "cancelled)"}))
     if args.config in ("ssd512-nms", "all"):
         p50, piped = bench_nms_p50(backbone="vgg16_512")
+        device = bench_nms_device(backbone="vgg16_512")
         print(json.dumps({"metric": "ssd512_decode_nms_p50",
                           "value": round(p50 * 1e3, 3), "unit": "ms",
                           "pipelined_ms": round(piped * 1e3, 3),
+                          "device_ms": round(device * 1e3, 3),
                           "tunnel_suspect": bool(p50 < piped),
                           "config": "SSD512 decode+NMS only, batch 1, "
-                                    "24564 anchors"}))
+                                    "24564 anchors; device_ms is the "
+                                    "physical on-chip per-call time "
+                                    "(chain-slope, RTT cancelled)"}))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # Whatever happens mid-bench (backend dying after a clean
+        # probe, OOM, a regression), the driver must still read one
+        # parseable JSON line — never an empty record.
+        import traceback
+        tb = traceback.format_exc().strip().splitlines()
+        _emit_failure(" | ".join(tb[-3:]))
+        raise SystemExit(0)

@@ -15,9 +15,12 @@ with static output shape:
   * expand is a crop with a region larger than the unit square,
   * crop candidates (NUM_TRIALS of them) are sampled and *scored* in-graph
     (min-IoU constraint + at-least-one-gt-center), and the first valid
-    candidate is selected with a masked argmax — the reference's retry
-    loop with identical distribution over accepted patches, zero dynamic
-    shapes,
+    candidate is selected with a masked argmax — candidates are iid, so
+    "first passing of NUM_TRIALS pre-sampled" equals the reference's
+    sequential retry loop in distribution (same trial budget, same
+    per-trial proposal law, same accept test); verified statistically
+    against a sequential numpy oracle in
+    tests/test_augment_distribution.py — zero dynamic shapes,
   * the two regions compose into a single (scale, translate) pair, so the
     image is resampled exactly once,
   * out-of-bounds fill uses the per-image channel mean (the reference's
@@ -37,7 +40,20 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-NUM_TRIALS = 24  # crop candidates scored per image (reference: 50-trial loop)
+# Crop candidates scored per image. 50 matches the reference retry loop's
+# trial budget (SSD's canonical max_trials=50): "first valid of NUM_TRIALS
+# pre-sampled iid candidates" is the SAME distribution as "sequential
+# retry up to NUM_TRIALS trials" — candidates are iid, so conditioning on
+# the first passing index is identical either way — and with the trial
+# budgets equal the fallback (no-crop) probability matches too. The
+# earlier 24 made fallback measurably likelier under hard constraints
+# (e.g. accept-rate 5%/trial: P(fallback) 0.29 vs 0.077 at 50); see
+# tests/test_augment_distribution.py for the measured parity. Cost: the
+# b64 MBv2 train step measured 36.9 vs 36.0 ms (24 trials) in a same-
+# session interleaved A/B — augment_batch ALONE times identically (5.09
+# vs 5.10 ms), so the delta is XLA schedule variance of the full-step
+# compile, not candidate math; accepted for distributional correctness.
+NUM_TRIALS = 50
 _MIN_IOU_CHOICES = jnp.asarray([-1.0, 0.1, 0.3, 0.5, 0.7, 0.9])
 
 
@@ -149,16 +165,20 @@ def _region_iou(region: Array, boxes: Array) -> Array:
     return inter / jnp.maximum(union, 1e-8)
 
 
-def _sample_crop(rng: Array, boxes: Array, valid: Array) -> Array:
+def _sample_crop_with_stats(rng: Array, boxes: Array, valid: Array):
     """SSD random-patch crop in-graph (reference random_patch w/ retries).
 
     Scores NUM_TRIALS candidates; picks the first satisfying the sampled
-    min-IoU constraint AND containing at least one gt center. Falls back to
-    the identity region. boxes (G, 4), valid (G,) bool. Returns region (4,).
+    min-IoU constraint AND containing at least one gt center. Falls back
+    to the identity region. boxes (G, 4), valid (G,) bool. Returns
+    (region (4,), stats) where stats carries the sampled constraint and
+    the outcome — consumed by the distribution-parity test
+    (tests/test_augment_distribution.py), dead-code-eliminated by XLA in
+    the train step (which only uses the region).
     """
     k_iou, k_wh, k_pos, k_none = jax.random.split(rng, 4)
-    min_iou = _MIN_IOU_CHOICES[
-        jax.random.randint(k_iou, (), 0, len(_MIN_IOU_CHOICES))]
+    iou_choice = jax.random.randint(k_iou, (), 0, len(_MIN_IOU_CHOICES))
+    min_iou = _MIN_IOU_CHOICES[iou_choice]
     # "none" choice: skip cropping entirely with prob 1/7 (reference treats
     # no-crop as one of the sampler outcomes).
     skip = jax.random.uniform(k_none, ()) < (1.0 / 7.0)
@@ -188,7 +208,14 @@ def _sample_crop(rng: Array, boxes: Array, valid: Array) -> Array:
     first = jnp.argmax(ok)                                # first True, else 0
     any_ok = jnp.any(ok)
     identity = jnp.asarray([0.0, 0.0, 1.0, 1.0])
-    return jnp.where(skip | ~any_ok, identity, regions[first])
+    accepted = ~skip & any_ok
+    region = jnp.where(accepted, regions[first], identity)
+    stats = {"iou_choice": iou_choice, "skip": skip, "accepted": accepted}
+    return region, stats
+
+
+def _sample_crop(rng: Array, boxes: Array, valid: Array) -> Array:
+    return _sample_crop_with_stats(rng, boxes, valid)[0]
 
 
 def _compose(outer: Array, inner: Array) -> Array:
