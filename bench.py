@@ -126,14 +126,15 @@ def _time_fn(fn, args, iters: int, warmup: int = 3,
 
 def bench_inference(batch_size: int = 256, iters: int = 20,
                     backbone: str = "mobilenet_v2",
-                    bf16: bool = True):
+                    bf16: bool = True, fold_bn: bool = False):
     """Global-batch inference throughput (images/sec over ALL chips).
 
     The batch is sharded over a data-parallel mesh and the params are
     replicated, so the number is valid at any visible device count —
     per-chip = total / jax.device_count() is then correct by
     construction (VERDICT r1 weak #2). batch_size is rounded up to a
-    multiple of the device count.
+    multiple of the device count. fold_bn serves the BN-folded model
+    (utils.fold_bn), the predictor's load-time serving mode.
     """
     from tfssd_tpu import get_hyper_params
     from tfssd_tpu.models import get_model, init_model, make_predict_fn
@@ -144,6 +145,14 @@ def bench_inference(batch_size: int = 256, iters: int = 20,
         backbone, compute_dtype="bfloat16" if bf16 else "float32")
     model = get_model(cfg)
     variables = init_model(model, jax.random.key(0))
+    if fold_bn:
+        from tfssd_tpu.utils.fold_bn import fold_batch_norm
+
+        cfg = get_hyper_params(
+            backbone, compute_dtype="bfloat16" if bf16 else "float32",
+            fold_bn=True)
+        model = get_model(cfg)
+        variables = fold_batch_norm(variables)
     anchors = generate_anchors(cfg)
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     ndev = jax.device_count()

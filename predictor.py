@@ -12,6 +12,7 @@ accumulation happens on host numpy.
 
 from __future__ import annotations
 
+import argparse
 import os
 
 import jax
@@ -79,6 +80,11 @@ def main():
                              "and gather batches on device (same design "
                              "as trainer.py --device-cache); streamed "
                              "feeding over the TPU tunnel is H2D-bound")
+    parser.add_argument("--fold-bn", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="fold inference-mode BatchNorm into conv "
+                             "weights at load time (exact per-channel "
+                             "affine; BN backbones only; default on)")
     parser.add_argument("--port-h5", default=None,
                         help="Keras h5/.keras model whose trunk weights "
                              "are ported into the backbone (reference "
@@ -120,8 +126,27 @@ def main():
         print(f"loaded checkpoint step {step}")
         ckpt.close()
 
-    predict = jax.jit(make_predict_fn(model, anchors, cfg))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.port_h5:
+        from tfssd_tpu.utils.port_weights import port_h5_into_variables
+
+        variables = port_h5_into_variables(
+            variables, cfg.backbone, args.port_h5)
+        print(f"ported trunk weights from {args.port_h5}")
+    # Serving-mode BN fold (load-time, utils.fold_bn): BN is a
+    # per-channel affine at inference, folded exactly into the conv
+    # weights; the BN ops vanish from the served graph while weights
+    # stay runtime buffers (unlike --export's constant-folding). Only
+    # meaningful for BN backbones; --export keeps the unfolded graph
+    # (its constant-folding already subsumes the win).
+    if (args.fold_bn and state.batch_stats and not args.export):
+        from tfssd_tpu.utils.fold_bn import fold_batch_norm
+
+        cfg = get_hyper_params(args.backbone, fold_bn=True)
+        model = get_model(cfg)
+        variables = fold_batch_norm(variables)
+        print("folded BatchNorm into conv weights for serving")
+    predict = jax.jit(make_predict_fn(model, anchors, cfg))
     # Data-parallel inference over every visible chip: replicate weights,
     # shard each batch over the mesh (BASELINE.md config #5's v5e-8
     # streaming shape; a 1-chip mesh makes this a no-op). Falls back to
@@ -131,12 +156,6 @@ def main():
         devices = devices[:1]
     mesh = get_mesh(devices)
     variables = replicate(mesh, variables)
-    if args.port_h5:
-        from tfssd_tpu.utils.port_weights import port_h5_into_variables
-
-        variables = port_h5_into_variables(
-            variables, cfg.backbone, args.port_h5)
-        print(f"ported trunk weights from {args.port_h5}")
 
     if args.export:
         from tfssd_tpu.utils.export import export_predict

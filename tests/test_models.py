@@ -108,6 +108,52 @@ def test_bfloat16_compute_path():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_fold_bn_matches_unfolded_inference():
+    # Serving-mode BN folding (utils.fold_bn): the fold_bn=True model
+    # with folded weights must reproduce the unfolded model's inference
+    # outputs. Randomize BN stats/affines first — at init (mean=0,
+    # var=1, scale=1) folding is trivially the identity and the test
+    # would prove nothing.
+    from tfssd_tpu.utils.fold_bn import fold_batch_norm
+
+    small = dict(img_size=96, feature_map_shapes=(6, 3, 2, 1, 1, 1),
+                 total_labels=6)
+    cfg = get_hyper_params("mobilenet_v2", **small)
+    model = get_model(cfg)
+    variables = init_model(model, jax.random.key(0))
+
+    def randomize(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        rng = np.random.default_rng(abs(hash(tuple(names))) % (2 ** 31))
+        if "bn" in names and names[-1] in ("mean", "bias"):
+            return leaf + rng.normal(0, 0.3, leaf.shape).astype(leaf.dtype)
+        if "bn" in names and names[-1] in ("var", "scale"):
+            return leaf * rng.uniform(0.5, 2.0, leaf.shape).astype(leaf.dtype)
+        return leaf
+
+    variables = jax.tree_util.tree_map_with_path(randomize, variables)
+
+    cfg_f = get_hyper_params("mobilenet_v2", fold_bn=True, **small)
+    model_f = get_model(cfg_f)
+    folded = fold_batch_norm(variables)
+    # folded tree must match the fold_bn model's own init structure
+    ref_tree = jax.tree_util.tree_structure(
+        init_model(model_f, jax.random.key(0))["params"])
+    assert jax.tree_util.tree_structure(folded["params"]) == ref_tree
+
+    x = jax.random.normal(jax.random.key(1), (2, 96, 96, 3))
+    d0, l0 = model.apply(variables, x, train=False)
+    d1, l1 = model_f.apply(folded, x, train=False)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-4, atol=1e-4)
+
+    # training under fold_bn is an error, not a silent wrong result
+    with pytest.raises(ValueError, match="inference-only"):
+        model_f.apply(folded, x, train=True, mutable=["batch_stats"])
+
+
 @pytest.mark.slow
 def test_remat_matches_no_remat():
     # remat must change memory behavior only: same outputs, same grads,

@@ -127,3 +127,22 @@ def test_profiling_surface(tmp_path):
 
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_jax_cache_size_budget():
+    # The committed .jax_cache/ (driver dryrun warm-start) must not grow
+    # silently: entries are keyed to exact jax/XLA builds, so stale
+    # blobs accumulate invisibly. Budget enforced here AND by
+    # tools/prune_jax_cache.py (which also regenerates the cache).
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from prune_jax_cache import BUDGET_BYTES, CACHE, cache_size
+
+    assert os.path.isdir(CACHE), "committed dryrun warm cache is missing"
+    size = cache_size()
+    assert size <= BUDGET_BYTES, (
+        f".jax_cache is {size/2**20:.1f} MB > "
+        f"{BUDGET_BYTES/2**20:.0f} MB budget; run "
+        f"`python tools/prune_jax_cache.py --regen` and commit")

@@ -94,6 +94,15 @@ class SSDConfig:
     # (jax.checkpoint): trades ~30% more FLOPs for O(sqrt) activation
     # memory, enabling much larger per-chip batches.
     remat: bool = False
+    # Inference-only: build ConvBN blocks as plain biased convs, with
+    # the BatchNorm affine pre-folded into the conv weights at load time
+    # (utils.fold_bn.fold_batch_norm). BN is exactly a per-channel
+    # affine in inference mode, so folding is mathematically exact in
+    # f32; serving keeps weights as runtime buffers (swappable without
+    # recompiles), unlike the exported StableHLO artifact's
+    # constant-folding. Training with fold_bn=True is invalid (no
+    # batch statistics exist to update).
+    fold_bn: bool = False
 
     # ---- derived ----
 

@@ -35,26 +35,38 @@ class ConvBN(nn.Module):
     act: Optional[Callable[[Array], Array]] = nn.relu6
     dtype: Dtype = jnp.float32
     bn_momentum: float = 0.99
+    # Inference-only serving mode: the BN affine is pre-folded into the
+    # conv weights (utils.fold_bn.fold_batch_norm), so the block is a
+    # plain biased conv + activation and BN vanishes from the graph.
+    fold_bn: bool = False
+
+    # BN epsilon — must match utils.fold_bn.BN_EPSILON for the folded
+    # weights to be exact.
+    BN_EPSILON = 1e-3
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.fold_bn and train:
+            raise ValueError("fold_bn is an inference-only mode: there "
+                             "are no batch statistics to update")
         x = nn.Conv(
             self.features,
             self.kernel,
             strides=self.strides,
             padding=self.padding,
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="bn",
-        )(x.astype(jnp.float32)).astype(self.dtype)
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.BN_EPSILON,
+                dtype=jnp.float32,
+                name="bn",
+            )(x.astype(jnp.float32)).astype(self.dtype)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -72,6 +84,7 @@ class InvertedResidual(nn.Module):
     expand_ratio: int = 6
     dtype: Dtype = jnp.float32
     bn_momentum: float = 0.99
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -80,7 +93,8 @@ class InvertedResidual(nn.Module):
         y = x
         if self.expand_ratio != 1:
             y = ConvBN(hidden, (1, 1), dtype=self.dtype,
-                       bn_momentum=self.bn_momentum, name="expand")(y, train)
+                       bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
+                       name="expand")(y, train)
         y = ConvBN(
             hidden,
             (3, 3),
@@ -88,10 +102,12 @@ class InvertedResidual(nn.Module):
             groups=hidden,
             dtype=self.dtype,
             bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             name="depthwise",
         )(y, train)
         y = ConvBN(self.features, (1, 1), act=None, dtype=self.dtype,
-                   bn_momentum=self.bn_momentum, name="project")(y, train)
+                   bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
+                   name="project")(y, train)
         if self.stride == 1 and inp == self.features:
             y = y + x
         return y
@@ -133,17 +149,18 @@ class ExtraFeatureBlock(nn.Module):
     use_bn: bool = False        # MBv2 extras use BN; VGG extras use bias+relu
     dtype: Dtype = jnp.float32
     bn_momentum: float = 0.99
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         if self.use_bn:
             x = ConvBN(self.reduce_features, (1, 1), act=nn.relu6,
                        dtype=self.dtype, bn_momentum=self.bn_momentum,
-                       name="reduce")(x, train)
+                       fold_bn=self.fold_bn, name="reduce")(x, train)
             x = ConvBN(self.features, (3, 3), strides=self.strides,
                        padding=self.padding, act=nn.relu6,
                        dtype=self.dtype, bn_momentum=self.bn_momentum,
-                       name="down")(x, train)
+                       fold_bn=self.fold_bn, name="down")(x, train)
         else:
             x = nn.relu(nn.Conv(self.reduce_features, (1, 1),
                                 dtype=self.dtype, name="reduce")(x))

@@ -41,13 +41,15 @@ class MobileNetV2Backbone(nn.Module):
 
     dtype: Any = jnp.float32
     bn_momentum: float = 0.99
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> List[Array]:
         bn = self.bn_momentum
+        fold = self.fold_bn
         x = x.astype(self.dtype)
         x = ConvBN(32, (3, 3), strides=(2, 2), dtype=self.dtype,
-                   bn_momentum=bn, name="stem")(x, train)
+                   bn_momentum=bn, fold_bn=fold, name="stem")(x, train)
 
         taps: List[Array] = []
         block_idx = 0
@@ -61,25 +63,27 @@ class MobileNetV2Backbone(nn.Module):
                     # tap can be captured, then the rest of the block.
                     hidden = x.shape[-1] * t
                     y = ConvBN(hidden, (1, 1), dtype=self.dtype,
-                               bn_momentum=bn,
+                               bn_momentum=bn, fold_bn=fold,
                                name=f"block{block_idx}_expand")(x, train)
                     taps.append(y)
                     y = ConvBN(hidden, (3, 3), strides=(2, 2), groups=hidden,
                                dtype=self.dtype, bn_momentum=bn,
+                               fold_bn=fold,
                                name=f"block{block_idx}_depthwise")(y, train)
                     x = ConvBN(c, (1, 1), act=None, dtype=self.dtype,
-                               bn_momentum=bn,
+                               bn_momentum=bn, fold_bn=fold,
                                name=f"block{block_idx}_project")(y, train)
                 else:
                     x = InvertedResidual(
                         c, stride=stride, expand_ratio=t, dtype=self.dtype,
-                        bn_momentum=bn, name=f"block{block_idx}",
+                        bn_momentum=bn, fold_bn=fold,
+                        name=f"block{block_idx}",
                     )(x, train)
                 block_idx += 1
 
         # Final 1x1 conv to 1280 (Keras out_relu), tap #2: 10x10x1280.
         x = ConvBN(1280, (1, 1), dtype=self.dtype, bn_momentum=bn,
-                   name="head_conv")(x, train)
+                   fold_bn=fold, name="head_conv")(x, train)
         taps.append(x)
 
         # SSD extra feature blocks (reference ssd_mobilenet_v2.py extras):
@@ -88,6 +92,7 @@ class MobileNetV2Backbone(nn.Module):
             (256, 512), (128, 256), (128, 256), (64, 128))
         for j, (r, f) in enumerate(extras):
             x = ExtraFeatureBlock(r, f, use_bn=True, dtype=self.dtype,
-                                  bn_momentum=bn, name=f"extra{j}")(x, train)
+                                  bn_momentum=bn, fold_bn=fold,
+                                  name=f"extra{j}")(x, train)
             taps.append(x)
         return taps

@@ -37,7 +37,8 @@ class SSD(nn.Module):
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.backbone == "mobilenet_v2":
             backbone_cls = MobileNetV2Backbone
-            kwargs = dict(dtype=dtype, bn_momentum=cfg.bn_momentum)
+            kwargs = dict(dtype=dtype, bn_momentum=cfg.bn_momentum,
+                          fold_bn=cfg.fold_bn)
         elif cfg.backbone == "vgg16":
             backbone_cls = VGG16Backbone
             kwargs = dict(dtype=dtype, ssd512=cfg.img_size == 512)

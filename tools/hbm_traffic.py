@@ -6,7 +6,8 @@ traffic — round 4's artifact showed three configs at 112-154% of the
 physical HBM bandwidth, which is impossible; the counter includes reads
 that fusion keeps in VMEM/registers. This tool derives a DEFENSIBLE
 per-kernel traffic estimate by walking the ENTRY computation of the
-compiled module:
+compiled module's HloModuleProto (exact shapes/opcodes — no text
+parsing; TPU layout annotations broke a regex-based first cut):
 
   traffic = sum over top-level instructions of
               (unique operand buffer bytes + output buffer bytes)
@@ -14,34 +15,35 @@ compiled module:
 On TPU a buffer only survives between kernels through HBM, so each
 top-level kernel must read its operands from HBM and write its outputs
 back — while everything INSIDE a fusion stays on-chip and contributes
-zero. This still over-counts reads that hit a hot cacheline twice and
-under-counts spilled convolution windows, but it cannot include
-fusion-internal traffic by construction, which is exactly the hole the
-round-4 verdict flagged.
+zero. This still over-counts reads that stay resident in VMEM between
+adjacent kernels and under-counts spilled convolution windows, but it
+cannot include fusion-internal traffic by construction, which is
+exactly the hole the round-4 verdict flagged.
 
 Zero-traffic opcodes: parameter/constant/iota definitions (no operand
 reads; their CONSUMERS pay the read), tuple plumbing
-(tuple/get-tuple-element), bitcast (layout alias). `while`/`conditional`
-bodies would need trip counts — the tool errors loudly if it meets one
-so a silent undercount can't happen (none of the audited configs
-contain loops at the top level).
+(tuple/get-tuple-element), bitcast (layout alias). `while`/
+`conditional`/`call` bodies would need trip counts — the tool errors
+loudly if it meets one so a silent undercount can't happen (none of the
+audited configs contain top-level loops).
 
-Also calibrates the chip's ACHIEVABLE HBM bandwidth with a streaming
-triad of exactly-known traffic (z = x + y over distinct ~0.5 GB
-buffers: 12 bytes/element), so utilization is reported against both the
-datasheet peak and the measured ceiling.
+Also calibrates the chip's ACHIEVABLE HBM bandwidth with a
+dependence-chained streaming update of exactly-known traffic
+(z <- x + y + eps*z over distinct ~0.5 GB buffers: 16 bytes/element
+per iteration, chained inside ONE dispatch so the serving tunnel's RTT
+cancels in the depth slope — 12 pipelined independent adds measured a
+fantasy 42 TB/s over the tunnel).
 
 Usage (repo root, real TPU):
     python tools/hbm_traffic.py [--configs mbv2-infer,mbv2-train,...]
-Emits one JSON line per config (artifact: MFU_r05.json rows are built
-from these numbers by tools/mfu.py --corrected).
+Emits one JSON line per config; tools/mfu.py --corrected consumes the
+same accounting for the MFU_r05 artifact.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import re
 import sys
 import time
 
@@ -51,112 +53,111 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_DTYPE_BYTES = {
-    "pred": 1, "s4": 1, "u4": 1, "s8": 1, "u8": 1,
-    "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
-    "s32": 4, "u32": 4, "f32": 4,
-    "s64": 8, "u64": 8, "f64": 8, "c64": 8, "c128": 16,
-    "f8e4m3fn": 1, "f8e5m2": 1, "f8e4m3b11fnuz": 1,
+# xla_data.proto PrimitiveType -> bytes per element
+_ELEM_BYTES = {
+    1: 1,    # PRED
+    2: 1, 6: 1,          # S8, U8
+    3: 2, 7: 2, 10: 2, 16: 2,   # S16, U16, F16, BF16
+    4: 4, 8: 4, 11: 4,   # S32, U32, F32
+    5: 8, 9: 8, 12: 8, 15: 8,   # S64, U64, F64, C64
+    18: 16,  # C128
+    19: 1, 20: 1, 23: 1, 24: 1, 25: 1,  # f8 family
+    21: 1, 22: 1,        # S4/U4 (byte-padded storage)
 }
-
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
-
-
-def _shape_bytes(shape_str: str) -> int:
-    """Total bytes of an HLO shape string; tuples sum their leaves."""
-    total = 0
-    for m in _SHAPE_RE.finditer(shape_str):
-        dt, dims = m.group(1), m.group(2)
-        if dt not in _DTYPE_BYTES:
-            continue  # token[] etc.
-        n = 1
-        if dims:
-            for d in dims.split(","):
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+_TUPLE = 13
+_TOKEN = 17
 
 
-# opcode classes that move no HBM bytes themselves
+def _shape_bytes(shape) -> int:
+    """Bytes of an xla ShapeProto; tuples sum their leaves."""
+    if shape.element_type == _TUPLE:
+        return sum(_shape_bytes(s) for s in shape.tuple_shapes)
+    if shape.element_type == _TOKEN:
+        return 0
+    bpe = _ELEM_BYTES.get(shape.element_type)
+    if bpe is None:
+        raise ValueError(f"unknown element_type {shape.element_type}")
+    n = 1
+    for d in shape.dimensions:
+        n *= d
+    return n * bpe
+
+
 _FREE_OPS = {
     "parameter", "constant", "iota", "tuple", "get-tuple-element",
     "bitcast", "after-all", "partition-id", "replica-id",
 }
 _LOOPY_OPS = {"while", "conditional", "call"}
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|[\w\[\],{}\s/#]+?)\s*"
-    r"([\w\-]+)\((.*)$")
 
+def entry_traffic_bytes(compiled) -> dict:
+    """Walk the compiled executable's ENTRY computation; return traffic
+    accounting {traffic_bytes, kernels, top_opcodes}."""
+    from tensorflow.compiler.xla.service import hlo_pb2
 
-def entry_traffic_bytes(hlo_text: str) -> dict:
-    """Walk the ENTRY computation; return traffic accounting."""
-    # split computations: ENTRY block is "ENTRY %name ... {" .. matching "}"
-    entry_lines = []
-    depth = 0
-    in_entry = False
-    for line in hlo_text.splitlines():
-        if not in_entry and line.lstrip().startswith("ENTRY"):
-            in_entry = True
-        if in_entry:
-            entry_lines.append(line)
-            depth += line.count("{") - line.count("}")
-            if depth <= 0 and len(entry_lines) > 1:
-                break
-    if not entry_lines:
-        raise ValueError("no ENTRY computation found")
-
-    # first pass: name -> output shape string
-    shapes = {}
-    parsed = []
-    for line in entry_lines[1:]:
-        m = _INSTR_RE.match(line)
-        if not m:
-            continue
-        name, shape_str, opcode, rest = m.groups()
-        shapes[name] = shape_str
-        parsed.append((name, shape_str, opcode, rest))
-
+    proto = (compiled.runtime_executable().hlo_modules()[0]
+             .as_serialized_hlo_module_proto())
+    hm = hlo_pb2.HloModuleProto.FromString(proto)
+    entry = next(c for c in hm.computations
+                 if c.id == hm.entry_computation_id)
+    shapes = {ins.id: ins.shape for ins in entry.instructions}
     total = 0
     kernels = 0
     by_opcode = {}
-    for name, shape_str, opcode, rest in parsed:
-        if opcode in _FREE_OPS:
+    for ins in entry.instructions:
+        if ins.opcode in _FREE_OPS:
             continue
-        if opcode in _LOOPY_OPS:
+        if ins.opcode in _LOOPY_OPS:
             raise ValueError(
-                f"top-level '{opcode}' ({name}): body traffic needs a trip "
-                "count; refusing to report a silent undercount")
-        # unique operand names referenced as %name (dedup within the
-        # instruction: one HBM read per distinct buffer per kernel)
-        ops = set(re.findall(r"%([\w.\-]+)", rest))
-        t = _shape_bytes(shape_str)  # output write
-        for op in ops:
-            if op in shapes:
-                t += _shape_bytes(shapes[op])
+                f"top-level '{ins.opcode}' ({ins.name}): body traffic "
+                "needs a trip count; refusing a silent undercount")
+        t = _shape_bytes(ins.shape)           # output write
+        for oid in set(ins.operand_ids):      # unique operand reads
+            t += _shape_bytes(shapes[oid])
         total += t
         kernels += 1
-        by_opcode[opcode] = by_opcode.get(opcode, 0) + t
+        by_opcode[ins.opcode] = by_opcode.get(ins.opcode, 0) + t
     top = sorted(by_opcode.items(), key=lambda kv: -kv[1])[:8]
     return {"traffic_bytes": total, "kernels": kernels,
             "top_opcodes": {k: round(v / 1e9, 3) for k, v in top}}
 
 
-def measure_achievable_bw(gb: float = 0.5, iters: int = 12) -> float:
-    """Streaming-triad achievable HBM bandwidth (bytes/s): z = x + y on
-    distinct buffers, exactly 12 bytes/element of traffic, sized far
-    beyond any cache. Pipelined calls so the tunnel RTT amortizes
-    (CLAUDE.md: single-call latency over the axon tunnel lies)."""
+def measure_achievable_bw(gb: float = 0.5, depths=(4, 12),
+                          reps: int = 3) -> float:
+    """Achievable HBM bandwidth (bytes/s) from a dependence-chained
+    streaming update: each chain step computes z <- x + y + 1e-7*z
+    (reads x, y, z; writes z: exactly 16 bytes/element, nothing
+    hoistable out of the loop since z changes). The slope between two
+    chain depths inside single dispatches cancels the tunnel RTT — the
+    pipelined-independent-calls version read a fantasy 42 TB/s."""
     n = int(gb * 1e9 / 4)
     x = jnp.asarray(np.random.default_rng(0).random(n, np.float32))
     y = jnp.asarray(np.random.default_rng(1).random(n, np.float32))
-    f = jax.jit(lambda a, b: a + b)
-    jax.block_until_ready(f(x, y))
-    t0 = time.perf_counter()
-    outs = [f(x, y) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-    return 12.0 * n / dt
+
+    def chained(k):
+        # x and y MUST be arguments, not closed-over: a closure embeds
+        # the 0.5 GB buffers as HLO constants, and shipping ~1 GB of
+        # constants to the axon remote-compile service breaks the
+        # tunnel (observed: "remote_compile ... Broken pipe").
+        def run(xx, yy, z0):
+            def body(z, _):
+                return xx + yy + jnp.float32(1e-7) * z, ()
+            return jax.lax.scan(body, z0, None, length=k)[0]
+        return jax.jit(run)
+
+    times = {}
+    for k in depths:
+        fn = chained(k)
+        jax.block_until_ready(fn(x, y, y))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x, y, y))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    k1, k2 = depths
+    per_iter = (times[k2] - times[k1]) / (k2 - k1)
+    return 16.0 * n / per_iter
 
 
 def main():
@@ -177,7 +178,8 @@ def main():
     bw_eff = None
     if not args.skip_bw_cal:
         bw_eff = measure_achievable_bw()
-        print(f"achievable HBM bandwidth (triad): {bw_eff/1e9:.1f} GB/s "
+        print(f"achievable HBM bandwidth (chained triad): "
+              f"{bw_eff/1e9:.1f} GB/s "
               f"({100*bw_eff/hbm:.1f}% of datasheet)", file=sys.stderr)
 
     for name in args.configs.split(","):
@@ -186,7 +188,7 @@ def main():
         fn, fargs, batch = builder(**kw)
         compiled = fn.lower(*fargs).compile()
         flops, bytes_xla = _cost(compiled)
-        acct = entry_traffic_bytes(compiled.as_text())
+        acct = entry_traffic_bytes(compiled)
         bytes_true = acct["traffic_bytes"]
         if builder is _build_train:
             dt = _time_train(fn, fargs, args.iters)
