@@ -90,74 +90,127 @@ _FREE_OPS = {
 _LOOPY_OPS = {"while", "conditional", "call"}
 
 
+# Ops that READ only a window of their (possibly huge) operand — real
+# read traffic ~ output size, not operand size. Charging the full
+# operand put the r5 first cut ABOVE the XLA counter (an async-sliced
+# u8 image batch was charged 280 full reads of the 17 MB source
+# instead of 280 x 4 MB windows).
+_WINDOW_OPS = {"slice", "dynamic-slice", "gather"}
+# The *-done halves of async pairs alias buffers the start already
+# accounted; their tuples re-list the operands (double/triple counting).
+_ASYNC_FREE = {"copy-done", "async-done", "async-update", "send-done",
+               "recv-done"}
+
+
 def entry_traffic_bytes(compiled) -> dict:
     """Walk the compiled executable's ENTRY computation; return traffic
-    accounting {traffic_bytes, kernels, top_opcodes}."""
+    accounting {traffic_bytes, kernels, top_opcodes}.
+
+    Per-opcode model (each top-level kernel reads operands from HBM and
+    writes outputs back; TPU buffers only survive between kernels in
+    HBM):
+      * default: unique operand bytes + output bytes
+      * window ops (slice/dynamic-slice/gather): 2 x output bytes
+      * dynamic-update-slice: 2 x update bytes (base is aliased in place)
+      * copy-start: 2 x copied bytes; async-start: the wrapped op's
+        traffic (window-aware); all *-done halves: 0 (alias plumbing)
+    """
     from tensorflow.compiler.xla.service import hlo_pb2
 
     proto = (compiled.runtime_executable().hlo_modules()[0]
              .as_serialized_hlo_module_proto())
     hm = hlo_pb2.HloModuleProto.FromString(proto)
-    entry = next(c for c in hm.computations
-                 if c.id == hm.entry_computation_id)
+    comps = {c.id: c for c in hm.computations}
+    entry = comps[hm.entry_computation_id]
     shapes = {ins.id: ins.shape for ins in entry.instructions}
     total = 0
     kernels = 0
     by_opcode = {}
     for ins in entry.instructions:
-        if ins.opcode in _FREE_OPS:
+        op = ins.opcode
+        if op in _FREE_OPS or op in _ASYNC_FREE:
             continue
-        if ins.opcode in _LOOPY_OPS:
+        if op in _LOOPY_OPS:
             raise ValueError(
-                f"top-level '{ins.opcode}' ({ins.name}): body traffic "
+                f"top-level '{op}' ({ins.name}): body traffic "
                 "needs a trip count; refusing a silent undercount")
-        t = _shape_bytes(ins.shape)           # output write
-        for oid in set(ins.operand_ids):      # unique operand reads
-            t += _shape_bytes(shapes[oid])
+        if op in _WINDOW_OPS:
+            t = 2 * _shape_bytes(ins.shape)
+        elif op == "dynamic-update-slice":
+            t = 2 * _shape_bytes(shapes[ins.operand_ids[1]])
+        elif op == "copy-start":
+            t = 2 * _shape_bytes(shapes[ins.operand_ids[0]])
+        elif op == "async-start":
+            wrapped = comps[ins.called_computation_ids[0]]
+            root = next(i for i in wrapped.instructions
+                        if i.id == wrapped.root_id)
+            if root.opcode in _WINDOW_OPS:
+                t = 2 * _shape_bytes(root.shape)
+            else:
+                wshapes = {i.id: i.shape for i in wrapped.instructions}
+                t = _shape_bytes(root.shape) + sum(
+                    _shape_bytes(wshapes[oid])
+                    for oid in set(root.operand_ids))
+        else:
+            t = _shape_bytes(ins.shape)           # output write
+            for oid in set(ins.operand_ids):      # unique operand reads
+                t += _shape_bytes(shapes[oid])
         total += t
         kernels += 1
-        by_opcode[ins.opcode] = by_opcode.get(ins.opcode, 0) + t
+        by_opcode[op] = by_opcode.get(op, 0) + t
     top = sorted(by_opcode.items(), key=lambda kv: -kv[1])[:8]
     return {"traffic_bytes": total, "kernels": kernels,
             "top_opcodes": {k: round(v / 1e9, 3) for k, v in top}}
 
 
 def measure_achievable_bw(gb: float = 0.5, depths=(4, 12),
-                          reps: int = 3) -> float:
+                          iters: int = 8) -> float:
     """Achievable HBM bandwidth (bytes/s) from a dependence-chained
-    streaming update: each chain step computes z <- x + y + 1e-7*z
-    (reads x, y, z; writes z: exactly 16 bytes/element, nothing
-    hoistable out of the loop since z changes). The slope between two
-    chain depths inside single dispatches cancels the tunnel RTT — the
-    pipelined-independent-calls version read a fantasy 42 TB/s."""
+    streaming update: each chain step computes z <- y - 0.999*z behind
+    an optimization_barrier (reads y and z, writes z: exactly 12
+    bytes/element per iteration; the barrier forces each iterate to
+    materialize in HBM — without it XLA fuses the whole unrolled chain
+    into one kernel whose traffic is independent of depth, and a plain
+    z <- y - z chain even CSE-collapses to identity, which measured a
+    NEGATIVE slope). The chain ends in a .sum() whose SCALAR IS FETCHED
+    to host inside the timed region: over the axon tunnel, both
+    pipelined independent adds (42 TB/s) and block_until_ready on
+    chained dispatches (1.1-1.3 PB/s) measured fantasy numbers —
+    block_until_ready does not reliably await execution there
+    (CLAUDE.md); a host fetch of a value does. The slope between two
+    chain depths cancels the constant RTT + sum term exactly.
+    Measured on v5e over the axon tunnel: ~2.1 ms per 1.5 GB iteration
+    -> ~718 GB/s, 87.6% of the 819 GB/s datasheet — a normal streaming
+    efficiency, which is itself evidence the method is finally
+    physical."""
     n = int(gb * 1e9 / 4)
-    x = jnp.asarray(np.random.default_rng(0).random(n, np.float32))
     y = jnp.asarray(np.random.default_rng(1).random(n, np.float32))
+    z0 = jnp.asarray(np.random.default_rng(2).random(n, np.float32))
 
     def chained(k):
-        # x and y MUST be arguments, not closed-over: a closure embeds
-        # the 0.5 GB buffers as HLO constants, and shipping ~1 GB of
-        # constants to the axon remote-compile service breaks the
-        # tunnel (observed: "remote_compile ... Broken pipe").
-        def run(xx, yy, z0):
+        # y/z0 as arguments, not closures: closed-over 0.5 GB buffers
+        # become HLO constants and break the axon remote-compile
+        # service ("Broken pipe" shipping ~1 GB of constants).
+        def run(yy, z):
             def body(z, _):
-                return xx + yy + jnp.float32(1e-7) * z, ()
-            return jax.lax.scan(body, z0, None, length=k)[0]
+                z = yy - jnp.float32(0.999) * z
+                return jax.lax.optimization_barrier(z), ()
+            return jax.lax.scan(body, z, None, length=k)[0].sum()
         return jax.jit(run)
 
     times = {}
     for k in depths:
         fn = chained(k)
-        jax.block_until_ready(fn(x, y, y))
+        float(fn(y, z0))  # compile + warm
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(x, y, y))
+            float(fn(y, z0))  # host fetch forces completion
             best = min(best, time.perf_counter() - t0)
         times[k] = best
     k1, k2 = depths
     per_iter = (times[k2] - times[k1]) / (k2 - k1)
-    return 16.0 * n / per_iter
+    return 12.0 * n / per_iter
 
 
 def main():

@@ -120,10 +120,11 @@ def main():
     report("iou+fixpoint suppress", dt)
     keep = su(top_boxes, top_scores)
 
-    # 8. merge (global top-k)
+    # 8. merge (global top-k) — current _merge_detections signature
+    # (raw scores + keep mask; validity comes from the gathered mask)
     def merge(kp, ts, tb):
         return _merge_detections(
-            jnp.where(kp, ts, 0.0),
+            ts, kp,
             lambda sel: jnp.take_along_axis(
                 tb.reshape(b, -1, 4), sel[..., None], axis=1),
             c, k, cfg.max_total_detections)
