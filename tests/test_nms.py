@@ -97,8 +97,7 @@ def test_merge_kept_minus_inf_outranks_suppressed_sentinels():
     boxes = jnp.tile(jnp.asarray([0.1, 0.1, 0.2, 0.2], jnp.float32),
                      (1, 4, 1))
     r = nms._merge_detections(
-        top_scores, keep, lambda sel: jnp.take_along_axis(
-            boxes, sel[..., None], axis=1), num_classes=1, k=4,
+        top_scores, keep, boxes, num_classes=1, k=4,
         max_total_detections=4)
     assert int(r.valid[0]) == 2
     assert np.asarray(r.scores[0, 0]) == np.float32(0.9)

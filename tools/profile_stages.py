@@ -121,13 +121,10 @@ def main():
     keep = su(top_boxes, top_scores)
 
     # 8. merge (global top-k) — current _merge_detections signature
-    # (raw scores + keep mask; validity comes from the gathered mask)
+    # (raw scores + keep mask + flat candidate boxes)
     def merge(kp, ts, tb):
         return _merge_detections(
-            ts, kp,
-            lambda sel: jnp.take_along_axis(
-                tb.reshape(b, -1, 4), sel[..., None], axis=1),
-            c, k, cfg.max_total_detections)
+            ts, kp, tb.reshape(b, -1, 4), c, k, cfg.max_total_detections)
     mg = jax.jit(merge)
     dt = _time_fn(mg, (keep, top_scores, top_boxes), args.iters)
     report("merge (final topk)", dt)

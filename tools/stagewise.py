@@ -62,9 +62,7 @@ def staged(d, lg):
         return keep
     keep = bar(keep)
     return _merge_detections(
-        jnp.where(keep, top_scores, 0.0),
-        lambda sel: jnp.take_along_axis(
-            top_boxes.reshape(B, -1, 4), sel[..., None], axis=1),
+        top_scores, keep, top_boxes.reshape(B, -1, 4),
         C, K, cfg.max_total_detections)
 
 
