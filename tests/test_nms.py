@@ -106,6 +106,26 @@ def test_merge_kept_minus_inf_outranks_suppressed_sentinels():
     assert np.all(np.asarray(r.classes[0, 2:]) == -1)
 
 
+def test_gather_rows_onehot_exact():
+    # The MXU one-hot gather (f32 HIGHEST einsum) must be bit-exact vs
+    # take_along_axis — it selects single f32 values, so any deviation
+    # means the precision mode regressed. Checked on both sides of the
+    # width gate and with force_onehot on a wide table.
+    rng = np.random.RandomState(3)
+    for n, force in ((64, False), (300, False), (2048, True)):
+        table = jnp.asarray(rng.randn(4, n, 6).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, n, (4, 37)).astype(np.int32))
+        ref = jnp.take_along_axis(table, idx[..., None], axis=1)
+        out = nms._gather_rows(table, idx, force_onehot=force)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    # above the gate without force: falls back to the same gather
+    table = jnp.asarray(rng.randn(2, 2048, 3).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 2048, (2, 10)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.take_along_axis(table, idx[..., None], axis=1)),
+        np.asarray(nms._gather_rows(table, idx)))
+
+
 def test_padding_rows_are_marked():
     boxes = [[0.1, 0.1, 0.5, 0.5]]
     scores = [[0.9]]

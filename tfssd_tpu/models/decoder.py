@@ -36,6 +36,11 @@ def decode_predictions(
         every (image, class) instance per pass and beat the per-instance
         Pallas kernel (grid programs serialize on the single tensor
         core — ops/kernels/nms_keep.py has the numbers).
+      * r5: fetch-bounded stage isolation showed this path GATHER-bound
+        (candidate gather alone 7.5 ms of the 15.6 ms tail); the
+        prefilter/candidate/merge gathers are now exact MXU one-hot
+        matmuls (ops.nms._gather_rows), cutting decode+NMS to 7.0 ms
+        and lifting the headline to 12.0k img/s/chip.
       * A lanes-last "plane form" rewrite of this whole chain
         (combined_nms_planes), motivated by the 128-lane padding of the
         (B, N, 4)/(B, N, L) tensors, measured 2.3x SLOWER end to end
