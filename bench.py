@@ -179,6 +179,17 @@ def bench_latency_p50(batch_size: int = 1, iters: int = 50,
     bench_inference would round the batch up to the device count and
     shard it, which is the wrong shape for a batch-1 latency config on
     a multi-device platform."""
+    predict, variables, images = _build_serving_predict(backbone,
+                                                        batch_size)
+    p50 = _time_fn(predict, (variables, images), iters, streaming=False)
+    piped = _time_fn(predict, (variables, images), iters, streaming=True)
+    return p50, piped
+
+
+def _build_serving_predict(backbone: str, batch_size: int):
+    """(jitted predict, variables, images) in the SERVING configuration
+    (bf16 trunk, BN folded for BN backbones — predictor.py's load-time
+    default), for the latency configs."""
     from tfssd_tpu import get_hyper_params
     from tfssd_tpu.models import get_model, init_model, make_predict_fn
     from tfssd_tpu.ops.boxes import generate_anchors
@@ -186,15 +197,20 @@ def bench_latency_p50(batch_size: int = 1, iters: int = 50,
     cfg = get_hyper_params(backbone, compute_dtype="bfloat16")
     model = get_model(cfg)
     variables = init_model(model, jax.random.key(0))
+    if variables.get("batch_stats"):
+        from tfssd_tpu.utils.fold_bn import fold_batch_norm
+
+        cfg = get_hyper_params(backbone, compute_dtype="bfloat16",
+                               fold_bn=True)
+        model = get_model(cfg)
+        variables = fold_batch_norm(variables)
     anchors = generate_anchors(cfg)
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     images = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1,
                                          (batch_size, cfg.img_size,
                                           cfg.img_size, 3)), jnp.float32)
-    p50 = _time_fn(predict, (variables, images), iters, streaming=False)
-    piped = _time_fn(predict, (variables, images), iters, streaming=True)
-    return p50, piped
+    return predict, variables, images
 
 
 def bench_latency_device(batch_size: int = 1,
@@ -212,19 +228,8 @@ def bench_latency_device(batch_size: int = 1,
     (VERDICT r3 weak #4); the wall-clock p50 beside it measures the
     tunnel, not the chip.
     """
-    from tfssd_tpu import get_hyper_params
-    from tfssd_tpu.models import get_model, init_model, make_predict_fn
-    from tfssd_tpu.ops.boxes import generate_anchors
-
-    cfg = get_hyper_params(backbone, compute_dtype="bfloat16")
-    model = get_model(cfg)
-    variables = init_model(model, jax.random.key(0))
-    anchors = generate_anchors(cfg)
-    predict = make_predict_fn(model, anchors, cfg)
-    images = jnp.asarray(
-        np.random.default_rng(0).uniform(-1, 1,
-                                         (batch_size, cfg.img_size,
-                                          cfg.img_size, 3)), jnp.float32)
+    predict, variables, images = _build_serving_predict(backbone,
+                                                        batch_size)
 
     def chained(k):
         def body(img, _):
