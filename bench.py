@@ -90,10 +90,22 @@ def ensure_backend_alive(probe_timeout_s: int = 90,
             f"(last: {detail})")
 
 
+# The successfully-emitted headline record, if any — a crash in a LATER
+# config (--config all) must not overwrite a real measurement with a
+# null record, since the driver parses the LAST stdout line.
+_headline_record = None
+
+
 def _emit_failure(error: str) -> None:
     """The driver parses our LAST stdout line as JSON; a crash must
     still produce one (round 4's record was simply absent — rc=1,
-    parsed null)."""
+    parsed null). If the headline already printed, RE-EMIT it (with the
+    error attached) so the final line keeps the real value."""
+    if _headline_record is not None:
+        print(json.dumps({**_headline_record,
+                          "post_headline_error": error[-600:]}),
+              flush=True)
+        return
     print(json.dumps({"metric": _HEADLINE_METRIC, "value": None,
                       "unit": "images/sec/chip", "vs_baseline": None,
                       "error": error[-600:]}), flush=True)
@@ -146,13 +158,9 @@ def bench_inference(batch_size: int = 256, iters: int = 20,
     model = get_model(cfg)
     variables = init_model(model, jax.random.key(0))
     if fold_bn:
-        from tfssd_tpu.utils.fold_bn import fold_batch_norm
+        from tfssd_tpu.utils.fold_bn import fold_for_serving
 
-        cfg = get_hyper_params(
-            backbone, compute_dtype="bfloat16" if bf16 else "float32",
-            fold_bn=True)
-        model = get_model(cfg)
-        variables = fold_batch_norm(variables)
+        cfg, model, variables = fold_for_serving(cfg, variables)
     anchors = generate_anchors(cfg)
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     ndev = jax.device_count()
@@ -197,13 +205,9 @@ def _build_serving_predict(backbone: str, batch_size: int):
     cfg = get_hyper_params(backbone, compute_dtype="bfloat16")
     model = get_model(cfg)
     variables = init_model(model, jax.random.key(0))
-    if variables.get("batch_stats"):
-        from tfssd_tpu.utils.fold_bn import fold_batch_norm
+    from tfssd_tpu.utils.fold_bn import fold_for_serving
 
-        cfg = get_hyper_params(backbone, compute_dtype="bfloat16",
-                               fold_bn=True)
-        model = get_model(cfg)
-        variables = fold_batch_norm(variables)
+    cfg, model, variables = fold_for_serving(cfg, variables)
     anchors = generate_anchors(cfg)
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     images = jnp.asarray(
@@ -211,6 +215,35 @@ def _build_serving_predict(backbone: str, batch_size: int):
                                          (batch_size, cfg.img_size,
                                           cfg.img_size, 3)), jnp.float32)
     return predict, variables, images
+
+
+def _chain_slope(make_chained, args, depths=(25, 100),
+                 reps: int = 5) -> float:
+    """Per-iteration PHYSICAL device time from a two-depth chain slope.
+
+    make_chained(k) must return a jitted callable over `args` whose k
+    iterations are data-dependent (serialized on device) and whose
+    result is a SCALAR. The scalar is FETCHED to host inside the timed
+    region: block_until_ready does not reliably await execution for
+    every executable over the axon serving tunnel (CLAUDE.md r5
+    finding — fantasy TB/s readings), while a host fetch of a value
+    does, and the device queue is serial. The slope between the two
+    depths cancels the constant dispatch/RTT/reduce/fetch term exactly.
+    Shared by bench_latency_device, bench_nms_device, and
+    tools/hbm_traffic.measure_achievable_bw.
+    """
+    times = {}
+    for k in depths:
+        fn = make_chained(k)
+        float(fn(*args))          # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(*args))      # host fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    k1, k2 = depths
+    return (times[k2] - times[k1]) / (k2 - k1)
 
 
 def bench_latency_device(batch_size: int = 1,
@@ -221,12 +254,10 @@ def bench_latency_device(batch_size: int = 1,
 
     Method: chain K sequentially-dependent predicts inside ONE jitted
     lax.scan dispatch (each iteration's input consumes the previous
-    output's scores so XLA cannot overlap them), time the dispatch at
-    two depths, and take the slope (T_k2 - T_k1) / (k2 - k1): the
-    constant dispatch/RTT term cancels exactly. This answers BASELINE
-    config #1 with a number that means something off the tunnel
-    (VERDICT r3 weak #4); the wall-clock p50 beside it measures the
-    tunnel, not the chip.
+    output's scores so XLA cannot overlap them) and take the two-depth
+    slope (_chain_slope). This answers BASELINE config #1 with a number
+    that means something off the tunnel (VERDICT r3 weak #4); the
+    wall-clock p50 beside it measures the tunnel, not the chip.
     """
     predict, variables, images = _build_serving_predict(backbone,
                                                         batch_size)
@@ -239,20 +270,9 @@ def bench_latency_device(batch_size: int = 1,
             return img + (res.scores.sum() * 0).astype(img.dtype), ()
 
         return jax.jit(
-            lambda im: jax.lax.scan(body, im, None, length=k)[0])
+            lambda im: jax.lax.scan(body, im, None, length=k)[0].sum())
 
-    times = {}
-    for k in depths:
-        fn = chained(k)
-        jax.block_until_ready(fn(images))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(images))
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    k1, k2 = depths
-    return (times[k2] - times[k1]) / (k2 - k1)
+    return _chain_slope(chained, (images,), depths, reps)
 
 
 def bench_train(batch_size: int = 32, iters: int = 10,
@@ -327,8 +347,7 @@ def bench_nms_device(batch_size: int = 1, backbone: str = "mobilenet_v2",
     the wall clock reports for these configs is tunnel-dominated
     (VERDICT r4 weak #2: the NMS rows had no tunnel-independent
     number). Each chained iteration's deltas consume the previous
-    result's scores, so XLA cannot overlap iterations; the slope over
-    two chain depths cancels the constant dispatch/RTT term exactly."""
+    result's scores, so XLA cannot overlap iterations."""
     from tfssd_tpu import get_hyper_params
     from tfssd_tpu.models.decoder import decode_predictions
     from tfssd_tpu.ops.boxes import generate_anchors
@@ -347,20 +366,9 @@ def bench_nms_device(batch_size: int = 1, backbone: str = "mobilenet_v2",
             return d + (res.scores.sum() * 0).astype(d.dtype), ()
 
         return jax.jit(
-            lambda dd: jax.lax.scan(body, dd, None, length=k)[0])
+            lambda dd: jax.lax.scan(body, dd, None, length=k)[0].sum())
 
-    times = {}
-    for k in depths:
-        fn = chained(k)
-        jax.block_until_ready(fn(deltas))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(deltas))
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    k1, k2 = depths
-    return (times[k2] - times[k1]) / (k2 - k1)
+    return _chain_slope(chained, (deltas,), depths, reps)
 
 
 def main():
@@ -395,7 +403,8 @@ def main():
         img_s, dt = bench_inference(args.batch_size or 256, args.iters,
                                     fold_bn=True)
         per_chip = img_s / jax.device_count()
-        print(json.dumps({
+        global _headline_record
+        _headline_record = {
             "metric": "ssd300_mbv2_infer_images_per_sec_per_chip",
             "value": round(per_chip, 2),
             "unit": "images/sec/chip",
@@ -403,7 +412,8 @@ def main():
             "config": "SSD300-MBv2 batch-256 streaming, bf16 trunk, "
                       "BN folded into convs (serving default), full "
                       "forward+decode+NMS (BASELINE #5)",
-        }))
+        }
+        print(json.dumps(_headline_record))
         if args.config == "headline":
             return
 

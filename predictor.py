@@ -139,13 +139,13 @@ def main():
     # stay runtime buffers (unlike --export's constant-folding). Only
     # meaningful for BN backbones; --export keeps the unfolded graph
     # (its constant-folding already subsumes the win).
-    if (args.fold_bn and state.batch_stats and not args.export):
-        from tfssd_tpu.utils.fold_bn import fold_batch_norm
+    if args.fold_bn and not args.export:
+        from tfssd_tpu.utils.fold_bn import fold_for_serving
 
-        cfg = get_hyper_params(args.backbone, fold_bn=True)
-        model = get_model(cfg)
-        variables = fold_batch_norm(variables)
-        print("folded BatchNorm into conv weights for serving")
+        cfg2, model2, variables2 = fold_for_serving(cfg, variables)
+        if cfg2 is not cfg:
+            cfg, model, variables = cfg2, model2, variables2
+            print("folded BatchNorm into conv weights for serving")
     predict = jax.jit(make_predict_fn(model, anchors, cfg))
     # Data-parallel inference over every visible chip: replicate weights,
     # shard each batch over the mesh (BASELINE.md config #5's v5e-8

@@ -106,6 +106,36 @@ def test_merge_kept_minus_inf_outranks_suppressed_sentinels():
     assert np.all(np.asarray(r.classes[0, 2:]) == -1)
 
 
+def test_prefilter_with_inf_scores_matches_exact():
+    # Regression (r5 review): the prefilter's one-hot payload matmul
+    # NaN-poisoned every picked row when scores contained -inf
+    # (0 x inf = NaN), silently dropping all real detections. The
+    # payload now carries finite parts + exact 0/1 inf-mask columns.
+    rng = np.random.RandomState(11)
+    n, c = 60, 3
+    boxes = np.stack([
+        rng.uniform(0, 0.45, (n,)), rng.uniform(0, 0.45, (n,)),
+        rng.uniform(0.5, 1.0, (n,)), rng.uniform(0.5, 1.0, (n,)),
+    ], axis=-1).astype(np.float32)
+    scores = rng.uniform(-2, 2, (n, c)).astype(np.float32)
+    scores[5:, :] = -np.inf       # mask most anchors, margin-score style
+    scores[3, 1] = np.inf         # and a +inf corner
+    b = jnp.asarray(boxes)[None]
+    s = jnp.asarray(scores)[None]
+    kw = dict(score_threshold=-np.inf, max_total_detections=16,
+              max_detections_per_class=16)
+    exact = nms.combined_nms(b, s, prefilter_anchors=0, **kw)
+    pre = nms.combined_nms(b, s, prefilter_anchors=32, **kw)
+    assert np.all(np.isfinite(np.asarray(pre.boxes)))
+    assert int(pre.valid[0]) == int(exact.valid[0]) > 0
+    np.testing.assert_array_equal(np.asarray(exact.classes),
+                                  np.asarray(pre.classes))
+    np.testing.assert_allclose(np.asarray(exact.scores),
+                               np.asarray(pre.scores), atol=0)
+    np.testing.assert_allclose(np.asarray(exact.boxes),
+                               np.asarray(pre.boxes), atol=0)
+
+
 def test_gather_rows_onehot_exact():
     # The MXU one-hot gather (f32 HIGHEST einsum) must be bit-exact vs
     # take_along_axis — it selects single f32 values, so any deviation

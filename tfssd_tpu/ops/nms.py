@@ -301,12 +301,27 @@ def combined_nms(
     if 0 < prefilter_anchors < n:
         m = prefilter_anchors
         _, sel = jax.lax.top_k(jnp.max(scores, axis=-1), m)    # (B, M)
-        # One fused one-hot matmul gathers scores AND boxes (28 payload
-        # columns); exact, and 1.7 vs 2.9 ms against the two
-        # take_along_axis gathers at b256 (see _gather_rows).
-        picked = _gather_rows(jnp.concatenate([scores, boxes], axis=-1),
-                              sel, force_onehot=True)
-        scores, boxes = picked[..., :num_classes], picked[..., num_classes:]
+        # One fused one-hot matmul gathers scores AND boxes; exact, and
+        # 1.7 vs 2.9 ms against the two take_along_axis gathers at b256
+        # (see _gather_rows). Scores may be +-inf (the module's
+        # documented margin/logit semantics), and inf through a matmul
+        # NaN-poisons every picked row (0 x inf = NaN) — so the payload
+        # carries the FINITE part plus exact 0/1 +-inf mask columns and
+        # reconstructs the infinities after the pick.
+        neg_m = jnp.isneginf(scores)
+        pos_m = jnp.isposinf(scores)
+        finite = jnp.where(neg_m | pos_m, 0.0, scores)
+        payload = jnp.concatenate([
+            finite, neg_m.astype(scores.dtype), pos_m.astype(scores.dtype),
+            boxes], axis=-1)                     # (B, N, 3C+4)
+        picked = _gather_rows(payload, sel, force_onehot=True)
+        c = num_classes
+        inf = jnp.asarray(jnp.inf, scores.dtype)
+        scores = jnp.where(
+            picked[..., c:2 * c] > 0.5, -inf,
+            jnp.where(picked[..., 2 * c:3 * c] > 0.5, inf,
+                      picked[..., :c]))
+        boxes = picked[..., 3 * c:]
         n = m
     k = min(max_detections_per_class, n)
 

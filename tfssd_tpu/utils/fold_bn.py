@@ -19,6 +19,7 @@ recompiling the serving function.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -26,6 +27,21 @@ import jax.numpy as jnp
 from tfssd_tpu.models.layers import ConvBN
 
 BN_EPSILON = ConvBN.BN_EPSILON
+
+
+def fold_for_serving(config, variables):
+    """(config, variables) -> (folded config, model, folded variables)
+    for serving, preserving every other config override
+    (dataclasses.replace, NOT a fresh get_hyper_params — rebuilding
+    from the backbone name silently dropped overrides like
+    compute_dtype). No-op passthrough for BN-free models (empty
+    batch_stats) or when the config is already folded."""
+    from tfssd_tpu.models import get_model
+
+    if config.fold_bn or not variables.get("batch_stats"):
+        return config, get_model(config), variables
+    cfg = dataclasses.replace(config, fold_bn=True).validate()
+    return cfg, get_model(cfg), fold_batch_norm(variables)
 
 
 def fold_batch_norm(variables: Dict[str, Any]) -> Dict[str, Any]:

@@ -29,10 +29,10 @@ audited configs contain top-level loops).
 
 Also calibrates the chip's ACHIEVABLE HBM bandwidth with a
 dependence-chained streaming update of exactly-known traffic
-(z <- x + y + eps*z over distinct ~0.5 GB buffers: 16 bytes/element
-per iteration, chained inside ONE dispatch so the serving tunnel's RTT
-cancels in the depth slope — 12 pipelined independent adds measured a
-fantasy 42 TB/s over the tunnel).
+(z <- y - 0.999*z behind a per-iteration optimization_barrier over
+distinct ~0.5 GB buffers: 12 bytes/element per iteration; see
+measure_achievable_bw for why earlier formulations measured fantasies
+over the serving tunnel).
 
 Usage (repo root, real TPU):
     python tools/hbm_traffic.py [--configs mbv2-infer,mbv2-train,...]
@@ -172,17 +172,15 @@ def measure_achievable_bw(gb: float = 0.5, depths=(4, 12),
     materialize in HBM — without it XLA fuses the whole unrolled chain
     into one kernel whose traffic is independent of depth, and a plain
     z <- y - z chain even CSE-collapses to identity, which measured a
-    NEGATIVE slope). The chain ends in a .sum() whose SCALAR IS FETCHED
-    to host inside the timed region: over the axon tunnel, both
-    pipelined independent adds (42 TB/s) and block_until_ready on
-    chained dispatches (1.1-1.3 PB/s) measured fantasy numbers —
-    block_until_ready does not reliably await execution there
-    (CLAUDE.md); a host fetch of a value does. The slope between two
-    chain depths cancels the constant RTT + sum term exactly.
-    Measured on v5e over the axon tunnel: ~2.1 ms per 1.5 GB iteration
-    -> ~718 GB/s, 87.6% of the 819 GB/s datasheet — a normal streaming
-    efficiency, which is itself evidence the method is finally
-    physical."""
+    NEGATIVE slope). Timing/fetch discipline lives in
+    bench._chain_slope (fetch-forced two-depth slope — pipelined
+    independent adds read 42 TB/s and block_until_ready chains
+    1.1-1.3 PB/s over the tunnel; both fantasies). Measured on v5e:
+    ~2.1 ms per 1.5 GB iteration -> 680-718 GB/s, 83-88% of the
+    819 GB/s datasheet — a normal streaming efficiency, which is
+    itself evidence the method is finally physical."""
+    from bench import _chain_slope
+
     n = int(gb * 1e9 / 4)
     y = jnp.asarray(np.random.default_rng(1).random(n, np.float32))
     z0 = jnp.asarray(np.random.default_rng(2).random(n, np.float32))
@@ -198,18 +196,7 @@ def measure_achievable_bw(gb: float = 0.5, depths=(4, 12),
             return jax.lax.scan(body, z, None, length=k)[0].sum()
         return jax.jit(run)
 
-    times = {}
-    for k in depths:
-        fn = chained(k)
-        float(fn(y, z0))  # compile + warm
-        best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            float(fn(y, z0))  # host fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    k1, k2 = depths
-    per_iter = (times[k2] - times[k1]) / (k2 - k1)
+    per_iter = _chain_slope(chained, (y, z0), depths, reps=iters)
     return 12.0 * n / per_iter
 
 

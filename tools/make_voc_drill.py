@@ -54,7 +54,11 @@ def write_split(root: str, split: str, num: int, image_size: int,
         objs = []
         for j, (box, lab) in enumerate(zip(ex["boxes"], ex["labels"])):
             y0, x0, y1, x1 = (float(v) for v in box)
-            # VOC bndbox is 1-based inclusive pixel coords
+            # VOC bndbox is 1-based inclusive pixel coords. round(), not
+            # int(): the stored floats are px/size, and truncation
+            # re-applies the binary rounding error downward (~4% of
+            # coords came back 1 px short — r5 review; the recorded
+            # r5 drill run predates this fix, a 1-px GT jitter).
             name = labels[int(lab)]
             obj_count += 1
             diff = 1 if (difficult_every
@@ -62,10 +66,10 @@ def write_split(root: str, split: str, num: int, image_size: int,
             objs.append(f"""  <object><name>{name}</name>
     <pose>Unspecified</pose><truncated>0</truncated>
     <difficult>{diff}</difficult>
-    <bndbox><xmin>{int(x0 * image_size) + 1}</xmin>
-      <ymin>{int(y0 * image_size) + 1}</ymin>
-      <xmax>{int(x1 * image_size)}</xmax>
-      <ymax>{int(y1 * image_size)}</ymax></bndbox>
+    <bndbox><xmin>{round(x0 * image_size) + 1}</xmin>
+      <ymin>{round(y0 * image_size) + 1}</ymin>
+      <xmax>{round(x1 * image_size)}</xmax>
+      <ymax>{round(y1 * image_size)}</ymax></bndbox>
   </object>""")
         xml = (f"<annotation>\n  <filename>{image_id}.jpg</filename>\n"
                f"  <size><width>{image_size}</width>"
