@@ -189,6 +189,76 @@ def test_nms_jit_and_batch():
         assert np.all(iou[same & off] <= 0.45 + 1e-6)
 
 
+def _numpy_combined_nms(boxes, scores, max_per_class, max_total,
+                        iou_thr, score_thr):
+    """Independent full-pipeline oracle: per class, score-sorted greedy
+    suppression over the top-max_per_class candidates; then a global
+    score-sorted merge truncated to max_total. Mirrors the semantics
+    combined_nms implements (tf.image.combined_non_max_suppression)."""
+    n, c = scores.shape
+    dets = []
+    for cls in range(c):
+        order = np.argsort(-scores[:, cls], kind="stable")[:max_per_class]
+        kept = []
+        for i in order:
+            if scores[i, cls] <= score_thr:
+                continue
+            ok = True
+            for j in kept:
+                y0 = max(boxes[i, 0], boxes[j, 0])
+                x0 = max(boxes[i, 1], boxes[j, 1])
+                y1 = min(boxes[i, 2], boxes[j, 2])
+                x1 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(y1 - y0, 0) * max(x1 - x0, 0)
+                a_i = max(boxes[i, 2] - boxes[i, 0], 0) * max(
+                    boxes[i, 3] - boxes[i, 1], 0)
+                a_j = max(boxes[j, 2] - boxes[j, 0], 0) * max(
+                    boxes[j, 3] - boxes[j, 1], 0)
+                if inter / max(a_i + a_j - inter, 1e-8) > iou_thr:
+                    ok = False
+                    break
+            if ok:
+                kept.append(i)
+        dets.extend((float(scores[i, cls]), cls, i) for i in kept)
+    dets.sort(key=lambda d: -d[0])
+    return dets[:max_total]
+
+
+def test_combined_nms_full_pipeline_vs_numpy_oracle():
+    # End-to-end fuzz of candidate selection + suppression + merge
+    # against an independently-written sequential oracle (the
+    # stage-level oracles missed two r5 merge/prefilter-layer bugs).
+    # Continuous random scores make ties measure-zero, so the kept
+    # (class, score, box) multisets must match exactly.
+    rng = np.random.RandomState(17)
+    for trial in range(10):
+        n, c = rng.randint(20, 90), rng.randint(2, 6)
+        boxes = np.stack([
+            rng.uniform(0, 0.6, (n,)), rng.uniform(0, 0.6, (n,)),
+            np.zeros(n), np.zeros(n)], axis=-1).astype(np.float32)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(0.05, 0.4, (n,))
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(0.05, 0.4, (n,))
+        boxes = np.clip(boxes, 0, 1).astype(np.float32)
+        scores = rng.uniform(-0.5, 1, (n, c)).astype(np.float32)
+        r = nms.combined_nms(jnp.asarray(boxes)[None],
+                             jnp.asarray(scores)[None],
+                             prefilter_anchors=0,
+                             max_detections_per_class=16,
+                             max_total_detections=24,
+                             iou_threshold=0.5, score_threshold=0.05)
+        oracle = _numpy_combined_nms(boxes, scores, 16, 24, 0.5, 0.05)
+        v = int(r.valid[0])
+        assert v == len(oracle), (trial, v, len(oracle))
+        got = sorted(
+            (round(float(r.scores[0, i]), 5), int(r.classes[0, i]),
+             tuple(np.round(np.asarray(r.boxes[0, i]), 5)))
+            for i in range(v))
+        want = sorted(
+            (round(s, 5), cls, tuple(np.round(boxes[i], 5)))
+            for s, cls, i in oracle)
+        assert got == want, (trial, got[:3], want[:3])
+
+
 def test_fixpoint_matches_sequential_greedy():
     # The MXU fixpoint formulation must equal the textbook sequential
     # greedy on random candidate sets, including adversarial chains.
