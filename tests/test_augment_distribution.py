@@ -201,3 +201,53 @@ def test_zero_gt_scene_never_crops():
     orr, _, oa = _run_oracle(boxes, valid, 500, augment.NUM_TRIALS, seed=6)
     assert not ja.any() and not oa.any()
     assert np.all(_masks(None, None, jr)) and np.all(_masks(None, None, orr))
+
+
+def test_box_survival_rate_matches_geometric_oracle():
+    """The verdict's enumerated metric the sampler-level tests imply but
+    don't measure directly: the fraction of gt boxes surviving the FULL
+    geometric chain (expand with prob 1/2 -> crop in post-expand coords
+    -> center filter) must match a sequential numpy oracle of the same
+    chain. Tiny 8x8 images keep the vmapped resample cheap — survival
+    depends only on the regions, not pixels."""
+    boxes = np.array([[0.1, 0.1, 0.35, 0.4], [0.55, 0.5, 0.9, 0.95],
+                      [0.3, 0.35, 0.65, 0.6]], np.float32)
+    labels = np.array([3, 7, 12], np.int32)
+    n = 4000
+
+    # jax side: full augment_image over n seeds
+    img = jnp.zeros((8, 8, 3), jnp.float32)
+    keys = jax.random.split(jax.random.key(42), n)
+    _, _, out_labels = jax.jit(jax.vmap(
+        lambda k: augment.augment_image(
+            k, img, jnp.asarray(boxes), jnp.asarray(labels))))(keys)
+    surv_jax = float((np.asarray(out_labels) > 0).mean())
+
+    # oracle: same chain sequentially in numpy
+    rng = np.random.default_rng(99)
+    kept = 0
+    for _ in range(n):
+        if rng.uniform() < 0.5:                        # expand prob 1/2
+            ratio = rng.uniform(1.0, 4.0)
+            py = rng.uniform() * (ratio - 1.0)
+            px = rng.uniform() * (ratio - 1.0)
+            exp = np.array([-py, -px, ratio, ratio])
+        else:
+            exp = np.array([0.0, 0.0, 1.0, 1.0])
+        shift = np.array([exp[0], exp[1], exp[0], exp[1]])
+        scale = np.array([exp[2], exp[3], exp[2], exp[3]])
+        boxes_e = (boxes - shift) / scale
+        crop, _ = oracle_sample_crop(rng, boxes_e, np.ones(3, bool),
+                                     augment.NUM_TRIALS)
+        region = np.array([exp[0] + crop[0] * exp[2],
+                           exp[1] + crop[1] * exp[3],
+                           crop[2] * exp[2], crop[3] * exp[3]])
+        b = (boxes - np.array([region[0], region[1], region[0], region[1]])
+             ) / np.array([region[2], region[3], region[2], region[3]])
+        cy = (b[:, 0] + b[:, 2]) / 2.0
+        cx = (b[:, 1] + b[:, 3]) / 2.0
+        kept += int(np.sum((cy > 0) & (cy < 1) & (cx > 0) & (cx < 1)))
+    surv_oracle = kept / (n * len(boxes))
+
+    # two-sample sigma <= ~0.008 at n*3 Bernoulli-ish trials
+    assert abs(surv_jax - surv_oracle) < 0.035, (surv_jax, surv_oracle)
