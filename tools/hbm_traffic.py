@@ -45,7 +45,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
