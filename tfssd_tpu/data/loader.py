@@ -135,9 +135,16 @@ def batch_examples(
     static for jit."""
     rng = (np.random.default_rng(shuffle_seed)
            if shuffle_seed is not None else None)
+    random_access = hasattr(dataset, "example")
+    if not random_access and (shuffle_seed is not None or workers > 1):
+        # Shuffling / parallel decode need random access; silently
+        # yielding file-order single-threaded batches would degrade SGD
+        # with no visible failure (r5 review).
+        raise ValueError(
+            "shuffle_seed/workers require a random-access dataset "
+            "(with .example); got a plain iterable")
 
     def one_pass():
-        random_access = hasattr(dataset, "example")
         if random_access:
             order = (rng.permutation(len(dataset)) if rng is not None
                      else np.arange(len(dataset)))
@@ -200,8 +207,11 @@ def stage_arrays(dataset, max_gt: int, *, workers: int = 8,
     labels = np.zeros((total, max_gt), np.int32)
     difficult = np.zeros((total, max_gt), bool)
     ids = []
-    it = (_parallel_examples(dataset, np.arange(n), workers)
-          if workers > 1 else (dataset.example(i) for i in range(n)))
+    # reuse the shape probe as row 0 instead of decoding it twice
+    it = itertools.chain(
+        [first],
+        _parallel_examples(dataset, np.arange(1, n), workers)
+        if workers > 1 else (dataset.example(i) for i in range(1, n)))
     for i, ex in enumerate(it):
         images[i] = ex["image"]
         boxes[i], labels[i] = pad_gt(ex["boxes"], ex["labels"], max_gt)

@@ -167,6 +167,16 @@ def main():
             f"training dataset ({len(train_ds)} examples) is smaller than "
             f"--batch-size {args.batch_size}; full batches are required "
             f"(static shapes) — lower the batch size")
+    if args.batch_size % jax.device_count():
+        # Fail fast with an actionable message: the data-parallel
+        # sharding splits the batch axis over the mesh, and a
+        # non-divisible batch would otherwise surface as an opaque
+        # device_put ValueError from inside the prefetch producer
+        # thread (r5 review).
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be a multiple of the "
+            f"{jax.device_count()} visible devices (the batch axis is "
+            f"sharded over the data-parallel mesh)")
     # The device-cache decision must precede steps_per_epoch: the cached
     # path wraps its index permutation so an explicit --steps-per-epoch
     # may exceed one dataset pass, but the streamed path iterates the
@@ -250,10 +260,34 @@ def main():
         eval_step = jax.jit(make_eval_step(model, anchors))
         train_sharding = None
 
-    ckpt = CheckpointManager(get_model_path(args.backbone, args.model_dir))
+    model_path = get_model_path(args.backbone, args.model_dir)
+    ckpt = CheckpointManager(model_path)
+    # Schedule-geometry sidecar: the resume epoch (step // steps_per_epoch)
+    # and the LR decay boundaries are derived from the CURRENT flags, so
+    # resuming with a different batch size / dataset size / steps-per-call
+    # silently shifts both (r5 review). Persist the geometry and warn
+    # loudly on mismatch.
+    import json as _json
+
+    meta = {"steps_per_epoch": steps_per_epoch,
+            "batch_size": args.batch_size, "steps_per_call": spc}
+    # sidecar lives NEXT TO the orbax root, not inside it (orbax scans
+    # the root for step directories)
+    meta_path = os.path.normpath(model_path) + "_meta.json"
     if args.resume and ckpt.latest_step() is not None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old_meta = _json.load(f)
+            if old_meta != meta:
+                print(f"WARNING: resuming with changed schedule geometry "
+                      f"(checkpoint: {old_meta}, this run: {meta}) — the "
+                      f"resume epoch and LR decay boundaries will NOT "
+                      f"line up with the original run")
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
+    os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
 
     log_path = get_log_path(args.backbone, args.log_dir)
     log = MetricsLogger(log_path)
@@ -286,8 +320,15 @@ def main():
         from tfssd_tpu.train import flatten_images
 
         t0 = time.perf_counter()
+        # Pad the staged row count to the device count: the data-axis
+        # sharding requires divisibility, and epoch gather indices only
+        # ever address rows < train_n, so the all-background padding
+        # rows are never touched (r5 review: an undivisible N crashed
+        # staging on any multi-chip mesh). Val is padded to batch_size,
+        # which the upfront guard makes device-divisible too.
         host_train, train_n = stage_arrays(
-            train_ds, cfg.max_gt_boxes, workers=args.workers)
+            train_ds, cfg.max_gt_boxes, workers=args.workers,
+            pad_to_multiple=jax.device_count())
         # Images ship FLAT (N, S*S*3): a 4-D u8 gather operand makes XLA
         # relayout the whole resident dataset inside the step (~2 extra
         # dataset-sized copies -> compile OOM at VOC scale).
@@ -334,45 +375,49 @@ def main():
             from tfssd_tpu.utils import profiling as prof
             trace_cm = prof.trace(log_path)
             trace_cm.__enter__()
-        epoch_t0 = time.perf_counter()
         epoch_steps = 0
-        for chunk_idx in range(steps_per_epoch // spc):
-            step_in_epoch = chunk_idx * spc
-            if device_cache:
-                rows = idx_epoch[step_in_epoch * args.batch_size:
-                                 (step_in_epoch + spc) * args.batch_size]
-                rows = rows.reshape(spc, args.batch_size)
-                idx_dev = jax.numpy.asarray(
-                    rows if spc > 1 else rows[0])
-                state, metrics = train_step(state, train_data, idx_dev,
-                                            rng)
-            else:
-                try:
-                    device_batch, _ = next(it)
-                except StopIteration:
-                    # can't happen after the one-pass clamp unless the
-                    # dataset shrank mid-run; count only real steps
-                    break
-                state, metrics = train_step(state, device_batch, rng)
-            epoch_steps += spc
-            # Steps dispatch asynchronously; only sync metrics to host at
-            # the logging cadence (each float() is a device round trip).
-            # Multi-step dispatches return metrics stacked (spc,); log
-            # the last step of the chunk that crosses the cadence.
-            if step_in_epoch % args.log_every < spc:
-                m = {k: float(v[-1] if spc > 1 else v)
-                     for k, v in metrics.items()}
-                epoch_metrics.append(m)
-                print(f"epoch {epoch} step {step_in_epoch}/{steps_per_epoch} "
-                      f"loss={m['loss']:.4f} loc={m['loc_loss']:.4f} "
-                      f"conf={m['conf_loss']:.4f}")
-                log.log(int(jax.device_get(state.step)), m, prefix="train/")
-        jax.block_until_ready(state.params)
+        try:
+            for chunk_idx in range(steps_per_epoch // spc):
+                step_in_epoch = chunk_idx * spc
+                if device_cache:
+                    rows = idx_epoch[step_in_epoch * args.batch_size:
+                                     (step_in_epoch + spc) * args.batch_size]
+                    rows = rows.reshape(spc, args.batch_size)
+                    idx_dev = jax.numpy.asarray(
+                        rows if spc > 1 else rows[0])
+                    state, metrics = train_step(state, train_data, idx_dev,
+                                                rng)
+                else:
+                    try:
+                        device_batch, _ = next(it)
+                    except StopIteration:
+                        # can't happen after the one-pass clamp unless the
+                        # dataset shrank mid-run; count only real steps
+                        break
+                    state, metrics = train_step(state, device_batch, rng)
+                epoch_steps += spc
+                # Steps dispatch asynchronously; only sync metrics to host at
+                # the logging cadence (each float() is a device round trip).
+                # Multi-step dispatches return metrics stacked (spc,); log
+                # the last step of the chunk that crosses the cadence.
+                if step_in_epoch % args.log_every < spc:
+                    m = {k: float(v[-1] if spc > 1 else v)
+                         for k, v in metrics.items()}
+                    epoch_metrics.append(m)
+                    print(f"epoch {epoch} step {step_in_epoch}/{steps_per_epoch} "
+                          f"loss={m['loss']:.4f} loc={m['loc_loss']:.4f} "
+                          f"conf={m['conf_loss']:.4f}")
+                    log.log(int(jax.device_get(state.step)), m, prefix="train/")
+            jax.block_until_ready(state.params)
+        finally:
+            # stop the trace even when the epoch aborts (NaN debug
+            # halt, Ctrl-C, OOM): the failing run is exactly when
+            # the requested trace matters (r5 review)
+            if profiling:
+                trace_cm.__exit__(None, None, None)
+                print(f"profiler trace written to {log_path}")
         if train_start is not None:
             total_images += epoch_steps * args.batch_size
-        if profiling:
-            trace_cm.__exit__(None, None, None)
-            print(f"profiler trace written to {log_path}")
 
         # validation (every --val-every epochs; the final epoch always).
         # Partial batches are kept (a val set smaller than the batch must
