@@ -49,6 +49,33 @@ from tfssd_tpu.utils.io import get_model_path, handle_args
 from tfssd_tpu.utils.metrics import StepTimer
 
 
+def _accumulate_batch(res, nv, rows, gts, dets, drawn, args, labels):
+    """Shared gt/detection accumulation + optional drawing for one
+    predicted batch — one implementation for the device-cached and
+    streamed paths (they had drifted: --limit truncation differed
+    between near-verbatim copies, r5 review). `rows` holds per-row
+    arrays image/boxes/labels/difficult/ids aligned with the first `nv`
+    result rows. Returns the updated drawn count."""
+    dets.extend(detections_from_nms_result(res, num_valid=nv))
+    for i in range(nv):
+        gts.append({
+            "boxes": rows["boxes"][i],
+            "labels": rows["labels"][i],
+            "difficult": rows["difficult"][i],
+        })
+        if drawn < args.draw:
+            draw_predictions(
+                rows["image"][i],
+                np.asarray(res.boxes[i]), np.asarray(res.scores[i]),
+                np.asarray(res.classes[i]), labels,
+                score_threshold=args.score_threshold,
+                path=os.path.join(
+                    args.output_dir,
+                    os.path.splitext(rows["ids"][i])[0] + ".png"))
+            drawn += 1
+    return drawn
+
+
 def main():
     parser = handle_args("tfssd_tpu predictor")
     parser.add_argument("--split", default="test")
@@ -153,6 +180,10 @@ def main():
     # one device when the batch doesn't divide the chip count.
     devices = jax.devices()
     if args.batch_size % len(devices):
+        print(f"WARNING: --batch-size {args.batch_size} does not divide "
+              f"the {len(devices)} visible devices; falling back to a "
+              f"single device ({len(devices) - 1} idle) — use a multiple "
+              f"of {len(devices)} for data-parallel inference")
         devices = devices[:1]
     mesh = get_mesh(devices)
     variables = replicate(mesh, variables)
@@ -261,26 +292,14 @@ def main():
                   f"padded tail excluded from the count)")
         for b, res in enumerate(results):
             nv = min(bsz, limit_n - b * bsz)
-            dets.extend(detections_from_nms_result(res, num_valid=nv))
-            for i in range(nv):
-                row = b * bsz + i
-                gts.append({
-                    "boxes": host["boxes"][row],
-                    "labels": host["labels"][row],
-                    "difficult": host["difficult"][row],
-                })
-                if drawn < args.draw:
-                    draw_predictions(
-                        host["image"][row],
-                        np.asarray(res.boxes[i]),
-                        np.asarray(res.scores[i]),
-                        np.asarray(res.classes[i]), labels,
-                        score_threshold=args.score_threshold,
-                        path=os.path.join(
-                            args.output_dir,
-                            os.path.splitext(host["ids"][row])[0]
-                            + ".png"))
-                    drawn += 1
+            sl = slice(b * bsz, b * bsz + nv)
+            drawn = _accumulate_batch(
+                res, nv,
+                {"image": host["image"][sl], "boxes": host["boxes"][sl],
+                 "labels": host["labels"][sl],
+                 "difficult": host["difficult"][sl],
+                 "ids": host["ids"][sl]},
+                gts, dets, drawn, args, labels)
         if not args.no_eval:
             evaluate_predictions(gts, dets,
                                  num_classes=cfg.total_labels - 1,
@@ -289,42 +308,40 @@ def main():
 
     timer = StepTimer(skip=1)
     timer.start()
+    tick_reals = []   # real images per tick (honest throughput: the
+                      # padded final batch must not count batch_size)
     for batch in prefetch(batch_examples(
             dataset, args.batch_size, cfg.max_gt_boxes,
             drop_remainder=False,
             workers=args.workers if not args.image_dir else 1)):
-        images = preprocess_images(
-            shard_batch(mesh, jax.numpy.asarray(batch["image"])))
+        # shard_batch device_puts numpy directly with the data-axis
+        # sharding — a jnp.asarray first would place the whole batch on
+        # device 0 and re-distribute it (r5 review)
+        images = preprocess_images(shard_batch(mesh, batch["image"]))
         res = predict(variables, images)
         jax.block_until_ready(res.scores)
         timer.tick()
+        # truncate to the remaining --limit so the streamed path
+        # evaluates EXACTLY limit images like the device-cache path
+        # (r5 review: it previously finished the whole batch)
         n = batch["num_valid"]
-        dets.extend(detections_from_nms_result(res, num_valid=n))
-        for i in range(n):
-            gts.append({
-                "boxes": batch["boxes"][i],
-                "labels": batch["labels"][i],
-                "difficult": batch["difficult"][i],
-            })
-            if drawn < args.draw:
-                img = draw_predictions(
-                    batch["image"][i],
-                    np.asarray(res.boxes[i]), np.asarray(res.scores[i]),
-                    np.asarray(res.classes[i]), labels,
-                    score_threshold=args.score_threshold,
-                    path=os.path.join(
-                        args.output_dir,
-                        os.path.splitext(batch["ids"][i])[0] + ".png"))
-                drawn += 1
+        if args.limit:
+            n = min(n, args.limit - seen)
+        tick_reals.append(n)
+        drawn = _accumulate_batch(res, n, batch, gts, dets, drawn,
+                                  args, labels)
         seen += n
         if args.limit and seen >= args.limit:
             break
 
-    summary = timer.summary(items_per_step=args.batch_size)
+    summary = timer.summary()
     if summary:
-        print(f"inference: {summary.get('items_per_sec', 0):.1f} img/s "
+        measured_imgs = sum(tick_reals[timer.skip:])
+        total_s = sum(timer.measured)
+        rate = measured_imgs / total_s if total_s else 0.0
+        print(f"inference: {rate:.1f} img/s "
               f"(p50 batch {summary['p50_s'] * 1e3:.2f}ms, "
-              f"batch={args.batch_size})")
+              f"batch={args.batch_size}, padded tail excluded)")
     if not args.no_eval and not args.image_dir:
         evaluate_predictions(gts, dets, num_classes=cfg.total_labels - 1,
                              class_names=labels)

@@ -81,10 +81,20 @@ def evaluate_predictions(
             labels = np.asarray(gt["labels"])
             mask = labels == cls
             boxes = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)[mask]
-            difficult = np.asarray(
-                gt["difficult"] if "difficult" in gt and len(
-                    np.asarray(gt["difficult"])) == len(labels)
-                else np.zeros(len(labels), bool))[mask]
+            if "difficult" in gt:
+                difficult = np.asarray(gt["difficult"])
+                if len(difficult) != len(labels):
+                    # a length mismatch (e.g. unpadded difficult next to
+                    # padded labels) is a caller bug; silently treating
+                    # it as all-non-difficult would count difficult
+                    # objects as false negatives and deflate AP with no
+                    # warning (r5 review)
+                    raise ValueError(
+                        f"gt['difficult'] length {len(difficult)} != "
+                        f"labels length {len(labels)} for image {i}")
+            else:
+                difficult = np.zeros(len(labels), bool)
+            difficult = difficult[mask]
             gt_map[i] = (boxes, difficult, np.zeros(len(boxes), bool))
             npos += int((~difficult).sum())
 

@@ -105,10 +105,23 @@ class CheckpointManager:
     def _flush(self) -> None:
         """Barrier on in-flight save_from_device fetches, re-raising any
         background failure (a silently-dropped checkpoint must not look
-        like a saved one to latest_step/restore/close)."""
+        like a saved one to latest_step/restore/close).
+
+        ALL futures are awaited before the first failure re-raises: an
+        early exception must not leave a later future running untracked
+        — a caller catching the error and retrying a reader would then
+        race orbax against the still-executing background save, and
+        ocp.CheckpointManager is not thread-safe (r5 review)."""
         pending, self._pending = self._pending, []
+        first_error = None
         for f in pending:
-            f.result()
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                if first_error is None:
+                    first_error = e
+        if first_error is not None:
+            raise first_error
 
     def save_from_device(self, step: int, state: TrainState,
                          val_loss: Optional[float] = None) -> None:
